@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's tuned configuration profile.
+
+Local mode stands in for a multi-executor cluster (SURVEY.md §0.2); the
+same configs apply unchanged on a real cluster via spark-submit --conf.
+Scale rationale (SURVEY.md §4):
+- AQE on with skew-join splitting and partition coalescing: runtime
+  re-planning replaces hand-tuned shuffle partition counts at 100 TB;
+- advisory partition size 64 MB keeps post-shuffle partitions
+  executor-memory-friendly;
+- Arrow batch size capped so binary bitmap columns don't blow up the
+  Python-worker transfer (SURVEY.md §7 hard-part #5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "ocr-tool-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
