@@ -91,7 +91,11 @@ def trimmed_pattern(arr: np.ndarray) -> bytes:
     if ys.size == 0:
         return b""
     crop = (arr[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1] > 0).astype(np.uint8)
-    return bytes([crop.shape[0], crop.shape[1]]) + np.packbits(crop).tobytes()
+    return (
+        int(crop.shape[0]).to_bytes(2, "little")
+        + int(crop.shape[1]).to_bytes(2, "little")
+        + np.packbits(crop).tobytes()
+    )
 
 
 #: trimmed-pattern -> char lookup used by OCR.

@@ -1,0 +1,597 @@
+"""Driver-facing operator coverage: queries() + oracle_sql().
+
+One entry per SQL-expressible operator in SURVEY.md §2; each Spark
+callable takes (spark, sf_dir) and must hash-match its ANSI-SQL oracle
+run by DuckDB over the same parquet tables (driver contract in
+/root/repo/__spark_entry__.py). Keys without an oracle entry get the
+driver's weaker rows-only check (non-SQL-expressible or
+engine-specific ops).
+
+Float discipline (SURVEY.md §3.2): per-row arithmetic is IEEE-exact in
+both engines, so projections stay unrounded; aggregation order is not
+deterministic, so aggregated doubles are rounded coarsely
+(CAST(ROUND(SUM(x)) AS BIGINT) for money sums) or avoided in favour of
+exact integer aggregates. Every computed column is aliased identically
+on both sides; ambiguous orderings always carry a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_tool_spark.sources.tables import load_table
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------- A. scans
+
+
+@q("q_scan", "SELECT * FROM lineitem")
+def q_scan(spark, sf):
+    return load_table(spark, sf, "lineitem")
+
+
+@q("q_sample")  # rows-only: sampling is engine-specific by design
+def q_sample(spark, sf):
+    return load_table(spark, sf, "orders").sample(fraction=0.1, seed=42)
+
+
+# ---------------------------------------------- B. project / filter / nest
+
+
+@q(
+    "q_project",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue "
+    "FROM lineitem",
+)
+def q_project(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@q(
+    "q_filter",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00' AND l_discount > 0.05 "
+    "AND l_returnflag = 'N'",
+)
+def q_filter(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "N")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q(
+    "q_explode",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+)
+def q_explode(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@q(
+    "q_array_hof",
+    "SELECT vec_id, len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos, "
+    "len(embedding)::BIGINT AS dim FROM embeddings",
+)
+def q_array_hof(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@q("q_distinct", "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")
+def q_distinct(spark, sf):
+    return load_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------- C. joins
+
+
+@q(
+    "q_join_broadcast",
+    "SELECT r_name, count(*) AS n_customers FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def q_join_broadcast(spark, sf):
+    c = load_table(spark, sf, "customer")
+    n = F.broadcast(load_table(spark, sf, "nation"))
+    r = F.broadcast(load_table(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "q_join_sm",
+    "SELECT c_mktsegment, count(*) AS n_orders, "
+    "CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS sum_price_r "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def q_join_sm(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).cast("long").alias("sum_price_r"),
+        )
+    )
+
+
+@q(
+    "q_semijoin",
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_semijoin(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "q_antijoin",
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_antijoin(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "q_range_join",
+    "SELECT e1.user_id, count(*) AS n_pairs FROM events e1 JOIN events e2 "
+    "ON e1.user_id = e2.user_id AND e2.ts > e1.ts "
+    "AND e2.ts <= e1.ts + INTERVAL 1 MINUTE GROUP BY e1.user_id",
+)
+def q_range_join(spark, sf):
+    e = load_table(spark, sf, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 MINUTE")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "q_asof",
+    "SELECT p.event_id, v.ts AS view_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+    "ON p.user_id = v.user_id AND v.ts <= p.ts",
+)
+def q_asof(spark, sf):
+    """As-of join without a row explosion: union both sides, one pass of
+    last(ignorenulls) over a (user_id, ts) window — scales as a single
+    shuffle instead of a per-user cross join (SURVEY.md C7)."""
+    e = load_table(spark, sf, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.col("ts").alias("_vts"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("_tag"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(None).cast("timestamp").alias("_vts"),
+        "event_id", F.lit(1).alias("_tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purch)
+        .withColumn("view_ts", F.last("_vts", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+        .select("event_id", "view_ts")
+    )
+
+
+# ------------------------------------------------------------- D. aggregates
+
+
+@q(
+    "q_agg_groupby",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+    "CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_price_r "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q_agg_groupby(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 0).cast("long").alias("sum_price_r"),
+    )
+
+
+@q(
+    "q_count_distinct",
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders "
+    "GROUP BY o_orderpriority",
+)
+def q_count_distinct(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+@q("q_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+def q_approx_distinct(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey").alias("n_approx"))
+
+
+@q(
+    "q_percentile",
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "
+    "round(quantile_cont(value, 0.95), 6) AS p95 FROM events GROUP BY event_type",
+)
+def q_percentile(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+@q(
+    "q_rollup",
+    "SELECT event_type, date_trunc('month', ts) AS month, count(*) AS n "
+    "FROM events GROUP BY ROLLUP(event_type, date_trunc('month', ts))",
+)
+def q_rollup(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.rollup("event_type", F.date_trunc("month", "ts").alias("month")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q_pandas_udaf",
+    "SELECT p_brand, CAST(SUM(p_size * p_size) AS BIGINT) AS sum_sq_size "
+    "FROM part GROUP BY p_brand",
+)
+def q_pandas_udaf(spark, sf):
+    @F.pandas_udf("long")
+    def sum_sq(v: pd.Series) -> int:
+        return int((v.astype("int64") ** 2).sum())
+
+    p = load_table(spark, sf, "part")
+    return p.groupBy("p_brand").agg(sum_sq("p_size").alias("sum_sq_size"))
+
+
+# --------------------------------------------------------------- E. windows
+
+
+@q(
+    "q_window_rownum",
+    "SELECT o_orderkey, o_custkey, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+    "FROM orders",
+)
+def q_window_rownum(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@q(
+    "q_window_lag",
+    "SELECT event_id, date_diff('second', "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s "
+    "FROM events",
+)
+def q_window_lag(spark, sf):
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    )
+
+
+@q(
+    "q_window_frame",
+    "SELECT o_orderkey, CAST(ROUND(SUM(o_totalprice) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS run_total_r "
+    "FROM orders",
+)
+def q_window_frame(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("run_total_r"),
+    )
+
+
+@q(
+    "q_ntile",
+    "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile FROM documents",
+)
+def q_ntile(spark, sf):
+    d = load_table(spark, sf, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return d.select("doc_id", F.ntile(4).over(w).cast("long").alias("tile"))
+
+
+@q(
+    "q_topk_group",
+    "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def q_topk_group(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------- F. sort / limit / sets
+
+
+@q(
+    "q_sort",
+    "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+)
+def q_sort(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.orderBy(F.desc("value"), "event_id").select("event_id", "value").limit(100)
+
+
+@q("q_limit", "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50")
+def q_limit(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").limit(50)
+
+
+@q(
+    "q_union",
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0 "
+    "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000",
+)
+def q_union(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    return c.filter(F.col("c_acctbal") < 0).unionByName(c.filter(F.col("c_acctbal") > 9000))
+
+
+@q(
+    "q_except",
+    "SELECT o_custkey FROM orders EXCEPT "
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def q_except(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.select("o_custkey").subtract(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+# ------------------------------------------------------ G. scalar functions
+
+
+@q(
+    "q_regex",
+    "SELECT doc_id, length(regexp_replace(text, '[aeiou]', '', 'g'))::BIGINT AS n_novowel, "
+    "regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word FROM documents",
+)
+def q_regex(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("n_novowel"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+    )
+
+
+@q(
+    "q_string",
+    "SELECT c_custkey, upper(substring(c_name, 1, 8)) AS name8, "
+    "length(c_name)::BIGINT AS name_len, "
+    "concat_ws('|', c_mktsegment, c_name) AS tag FROM customer",
+)
+def q_string(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tag"),
+    )
+
+
+@q(
+    "q_date_trunc",
+    "SELECT date_trunc('month', ts) AS month, event_type, count(*) AS n "
+    "FROM events GROUP BY date_trunc('month', ts), event_type",
+)
+def q_date_trunc(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q_math",
+    "SELECT l_orderkey, l_linenumber, "
+    "round(ln(1.0 + l_extendedprice) + sqrt(l_quantity) + pow(l_discount, 2), 6) AS score "
+    "FROM lineitem",
+)
+def q_math(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.log1p("l_extendedprice") + F.sqrt("l_quantity") + F.pow("l_discount", 2), 6
+        ).alias("score"),
+    )
+
+
+@q("q_hash")  # rows-only: hash functions differ across engines by design
+def q_hash(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h64"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha"),
+    )
+
+
+@q(
+    "q_json",
+    "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events",
+)
+def q_json(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@q(
+    "q_case",
+    "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'final' "
+    "WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label, "
+    "coalesce(nullif(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio FROM orders",
+)
+def q_case(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("was-urgent")).alias(
+            "prio"
+        ),
+    )
+
+
+# ------------------------------------------------- L. streaming-equivalent
+
+
+@q(
+    "q_tumbling",
+    "SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type, "
+    "count(*) AS n FROM events GROUP BY 1, 2",
+)
+def q_tumbling(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w")["start"].alias("win_start"), "event_type", "n")
+    )
+
+
+@q("q_sliding")  # rows-only: overlapping windows aren't 1:1 in ANSI SQL
+def q_sliding(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w")["start"].alias("win_start"), "event_type", "n")
+    )
+
+
+# ------------------------------------------------ I. extraction (flagship)
+
+
+@q(
+    "q_extract_main",
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) >= 25 "
+    "THEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' ') ELSE '' END AS main_text "
+    "FROM documents",
+)
+def q_extract_main(spark, sf):
+    """The text branch end-to-end on driver data: wrap each flat document
+    in known boilerplate (nav/header/footer/link-farm/script), run the
+    batched extractor, and the result must equal the original text —
+    an independently-checkable oracle for the whole HTML pipeline."""
+    from ocr_tool_spark.sources.tables import interleaved_from_documents
+
+    docs = interleaved_from_documents(spark, sf)
+    from ocr_tool_spark.plans.pipeline import extract_documents
+
+    out = extract_documents(docs)
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("main_text")
+    )
+
+
+@q("q_extract_interleaved")  # rows-only: full mixed pipeline on synthetic corpus
+def q_extract_interleaved(spark, sf):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.plans.pipeline import extract_documents
+    from ocr_tool_spark.sources.tables import docs_df, media_df
+
+    docs, media = fixtures.gen_corpus(80, seed=42)
+    out = extract_documents(docs_df(spark, docs), media_df(spark, media))
+    return out.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id", "span.*"
+    )

@@ -1,0 +1,105 @@
+"""The flagship extraction plan (BASELINE.json:6; SURVEY.md §3.1).
+
+    explode -> route
+      text branch : dom_blocks_udf (one Python stage) -> native HOF
+                    densitometry scoring + assembly
+      media branch: distinct media_ref semi-join into media_store ->
+                    fused XY-cut + reading-order + template-OCR UDF
+                    (one Python stage, one OCR per *distinct* ref) ->
+                    joined back to spans
+    -> unionByName -> (optionally salted) reassembly by (doc_id, offset)
+
+Scale shape: the text branch has exactly one shuffle (reassembly); the
+media branch adds the ref-dedup exchange + the results join. When the
+referenced-media side fits the broadcast threshold the results join is
+a broadcast hash join; at 10^12-doc scale it degrades gracefully to a
+shuffled join that AQE can skew-split. OCR-per-distinct-ref trades one
+extra exchange for never OCR-ing a shared scan twice — at mostly-unique
+media it costs ~nothing (the exchange carries refs, not bitmaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_tool_spark.constants import KIND_MEDIA, KIND_TEXT
+from ocr_tool_spark.functions.html import with_main_text
+from ocr_tool_spark.functions.ocr import ocr_media_udf
+from ocr_tool_spark.operators.spans import explode_spans, reassemble, route
+
+
+def ocr_referenced_media(media_spans: DataFrame, media_store: DataFrame) -> DataFrame:
+    """-> (media_ref, text, ocr_ms): one OCR invocation per distinct
+    referenced media payload."""
+    refs = media_spans.select("media_ref").distinct()
+    needed = media_store.join(refs, "media_ref", "left_semi")
+    res = F.col("_ocr")
+    return (
+        needed.withColumn(
+            "_ocr", ocr_media_udf("bitmap", "width", "height", "n_pages")
+        )
+        .select(
+            "media_ref",
+            res["text"].alias("text"),
+            res["ocr_ms"].alias("ocr_ms"),
+        )
+    )
+
+
+def extract_spans(
+    docs: DataFrame,
+    media_store: DataFrame | None = None,
+    broadcast_media: bool = True,
+) -> DataFrame:
+    """Span-level extraction: one row per span with extracted text.
+    Columns: doc_id, kind, text, media_ref, offset, ocr_ms (null on the
+    text branch)."""
+    spans = explode_spans(docs)
+    text_spans, media_spans = route(spans)
+
+    text_out = with_main_text(
+        text_spans.select("doc_id", "text", "offset"), "text", "_main"
+    ).select(
+        "doc_id",
+        F.lit(KIND_TEXT).alias("kind"),
+        F.col("_main").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        "offset",
+        F.lit(None).cast("double").alias("ocr_ms"),
+    )
+
+    if media_store is None:
+        media_out = media_spans.select(
+            "doc_id", "kind", "text", "media_ref", "offset",
+            F.lit(None).cast("double").alias("ocr_ms"),
+        )
+    else:
+        ocr_res = ocr_referenced_media(media_spans, media_store)
+        if broadcast_media:
+            ocr_res = F.broadcast(ocr_res)
+        media_out = (
+            media_spans.select("doc_id", "media_ref", "offset")
+            .join(ocr_res, "media_ref", "left")
+            .select(
+                "doc_id",
+                F.lit(KIND_MEDIA).alias("kind"),
+                F.coalesce("text", F.lit("")).alias("text"),
+                "media_ref",
+                "offset",
+                "ocr_ms",
+            )
+        )
+    return text_out.unionByName(media_out)
+
+
+def extract_documents(
+    docs: DataFrame,
+    media_store: DataFrame | None = None,
+    salt: int | None = None,
+    broadcast_media: bool = True,
+) -> DataFrame:
+    """Full pipeline: interleaved doc table in, extracted doc table out
+    (same (doc_id, spans) shape, spans ordered by offset)."""
+    spans = extract_spans(docs, media_store, broadcast_media=broadcast_media)
+    return reassemble(spans.drop("ocr_ms"), salt=salt)
