@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} plus informational extras
+(docs/sec for the flagship extraction).
+
+Headline set = the flagship extraction pipeline (text branch over the
+sf documents table; mixed text+media synthetic corpus with OCR) plus
+the shuffle-heavy relational queries — the ones whose plans decide
+100 TB viability (hash agg, sort-merge join, window).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_tool_spark.session import build_session  # noqa: E402
+
+
+def _count(df):
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    spark = build_session(
+        app_name="ocr-tool-spark-bench",
+        cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.plans import driver_queries
+    from ocr_tool_spark.plans.pipeline import extract_documents
+    from ocr_tool_spark.sources.tables import (
+        docs_df,
+        interleaved_from_documents,
+        media_df,
+    )
+
+    q = driver_queries.queries()
+
+    # Mixed corpus built once, outside the timed region (input prep, not
+    # engine work); cached as parquet-in-tmp so the timed run reads it
+    # like a real table scan instead of a parallelized local list.
+    corpus_docs, corpus_media = fixtures.gen_corpus(600, seed=7)
+    tmp = "/tmp/ocr_bench_corpus"
+    docs_df(spark, corpus_docs).write.mode("overwrite").parquet(f"{tmp}/docs")
+    media_df(spark, corpus_media).write.mode("overwrite").parquet(f"{tmp}/media")
+    bdocs = spark.read.parquet(f"{tmp}/docs")
+    bmedia = spark.read.parquet(f"{tmp}/media")
+
+    n_docs_text = None
+
+    def ext_text():
+        nonlocal n_docs_text
+        n_docs_text = _count(extract_documents(interleaved_from_documents(spark, sf_dir)))
+
+    def ext_mixed():
+        _count(extract_documents(bdocs, bmedia, salt=8))
+
+    bench = {
+        "ext_text": ext_text,
+        "ext_mixed": ext_mixed,
+        "agg_groupby": lambda: _count(q["q_agg_groupby"](spark, sf_dir)),
+        "join_sm": lambda: _count(q["q_join_sm"](spark, sf_dir)),
+        "window_rownum": lambda: _count(q["q_window_rownum"](spark, sf_dir)),
+        "topk_group": lambda: _count(q["q_topk_group"](spark, sf_dir)),
+        "range_join": lambda: _count(q["q_range_join"](spark, sf_dir)),
+    }
+    # training-data ops are registered lazily (round >=1 additions)
+    for extra in ("q_dedup_minhash", "q_knn_cosine", "q_text_quality"):
+        if extra in q:
+            bench[extra.removeprefix("q_")] = (
+                lambda name=extra: _count(q[name](spark, sf_dir))
+            )
+
+    # warm-up: JVM/codegen/Arrow path init on a trivial action
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    extras = {}
+    if n_docs_text and times["ext_text"] > 0:
+        extras["ext_text_docs_per_sec"] = round(n_docs_text / times["ext_text"], 1)
+        extras["ext_text_docs"] = n_docs_text
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (extraction + shuffle-heavy relational)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cores": cores,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

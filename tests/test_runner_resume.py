@@ -1,0 +1,75 @@
+"""Resume-after-kill property (SURVEY.md §5.5b, §6): a run killed after
+k of n partition batches, then resumed, yields output bit-identical to
+an uninterrupted run, with zero committed docs re-processed."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_tool_spark import fixtures
+from ocr_tool_spark.plans.runner import PipelineRunner
+from ocr_tool_spark.sources.tables import docs_df, media_df
+from ocr_tool_spark.storage.adapter import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, media = fixtures.gen_corpus(60, seed=13)
+    return docs_df(spark, docs), media_df(spark, media)
+
+
+def _rows(df):
+    return sorted(
+        ((r.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+         for r in df.collect())
+    )
+
+
+def test_snapshot_table_append_read_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    s1 = t.append(df, batch_id="b1")
+    s2 = t.append(df, batch_id="b1")  # duplicate append is a no-op
+    assert s1 == s2 == 0
+    assert t.read(spark).count() == 5
+    t.append(spark.range(3).selectExpr("id + 100 AS id", "id AS v"), batch_id="b2")
+    assert t.read(spark).count() == 8
+    # time travel: snapshot 0 still sees only the first batch
+    assert t.read(spark, snapshot_id=0).count() == 5
+
+
+def test_kill_resume_bit_identical(spark, tmp_path, corpus):
+    docs, media = corpus
+
+    full = PipelineRunner(spark, str(tmp_path / "full"), n_partitions=8,
+                          batch_partitions=2, salt=4)
+    rid = full.run(docs, media, run_id="r-full")
+    expected = _rows(full.read_output())
+    assert len(expected) == 60
+
+    killed = PipelineRunner(spark, str(tmp_path / "killed"), n_partitions=8,
+                            batch_partitions=2, salt=4)
+    killed.run(docs, media, run_id="r-kill", max_batches=2)  # "crash" at 50%
+    n_committed = len(killed.committed_partitions("r-kill"))
+    assert 0 < n_committed < 8
+    snap_before = killed.output.current_snapshot_id()
+
+    killed.run(docs, media, run_id="r-kill")  # resume
+    assert len(killed.committed_partitions("r-kill")) == 8
+    resumed = _rows(killed.read_output())
+    assert resumed == expected
+
+    # zero re-processing: committed batches were not appended again
+    batches = killed.output.committed_batches()
+    assert len(batches) == 4  # 8 partitions / 2 per batch
+    assert killed.output.current_snapshot_id() == snap_before + 2
+
+    # lineage carries per-partition metrics for every partition
+    lin = killed.lineage.read(spark).filter("run_id = 'r-kill'")
+    rows = {r.partition_id: r for r in lin.collect()}
+    assert set(rows) == set(range(8))
+    assert sum(r.docs for r in rows.values()) == 60
+    assert all(r.spans >= r.docs for r in rows.values())
+    media_parts = [r for r in rows.values() if r.media_spans > 0]
+    assert media_parts and all(r.ocr_ms_p50 is not None for r in media_parts)
