@@ -1,0 +1,205 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+Baseline: brute-force cosine top-k — native `aggregate`/`zip_with`
+expressions, so the dot products run JVM-side inside codegen (no
+Python). The 100 TB path: random-hyperplane LSH bucketing so each probe
+only scans its bucket; hyperplanes are derived deterministically from
+xxhash64 so signatures are reproducible with no stored model. Brute
+force stays the ground truth the LSH variant is recall-tested against
+(tests/test_dataprep.py).
+
+Scale notes: for top-k-per-query over a query *table*, the bucket join
+shuffles on (bucket) and the per-query top-k is a window over the
+candidate set — no cross join ever materializes. Skewed buckets (dense
+embedding regions) are the salted-groupBy case (SURVEY.md C3), handled
+by multi-table OR-construction (n_tables independent signatures) which
+bounds any single bucket's share of probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _f8(c: Column) -> Column:
+    """float32 → float64 element-wise; fixes the accumulation dtype so
+    Spark and the DuckDB oracle fold in identical IEEE order."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_f8(a), _f8(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_f8(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector. The 1-row
+    query side is broadcast; the scan side streams — the plan a
+    1000-executor cluster wants for single-probe lookups."""
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_vec_id).select(
+            F.col(vec_col).alias("_qv")
+        )
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_bits: int = 16, seed: int = 7) -> Column:
+    """Random-hyperplane (SRP) signature: bit_j = [vec · h_j > 0], with
+    h_j's components drawn deterministically from xxhash64(seed, j, i)
+    mapped to {-1..1} — a 2-universal stand-in for Gaussians that
+    preserves the cosine-LSH property in practice."""
+    def comp(j: int, i: int) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(j), F.lit(i))
+        return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+
+    def bit(j: int) -> Column:
+        d = F.aggregate(
+            F.zip_with(
+                _f8(vec),
+                F.array(*[comp(j, i) for i in range(dim)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for j in range(n_bits):
+        out = out.bitwiseOR(bit(j))
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only vectors sharing an SRP bucket with the
+    query in ≥1 of n_tables are scored. Trades recall for scanning
+    ~n_tables/2^n_bits of the corpus per probe."""
+    sig = embeddings.select(
+        id_col,
+        vec_col,
+        *[
+            hyperplane_signature(F.col(vec_col), dim, n_bits, seed=100 + t).alias(f"_b{t}")
+            for t in range(n_tables)
+        ],
+    ).persist()
+    qrow = sig.filter(F.col(id_col) == query_vec_id)
+    q = F.broadcast(
+        qrow.select(
+            F.col(vec_col).alias("_qv"),
+            *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(n_tables)],
+        )
+    )
+    match_any = None
+    for t in range(n_tables):
+        m = F.col(f"_b{t}") == F.col(f"_qb{t}")
+        match_any = m if match_any is None else (match_any | m)
+    return (
+        sig.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .filter(match_any)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups
+    (id_a < id_b, cos ≥ threshold). Blocking on `block_col` keeps the
+    self-join from going quadratic on the whole corpus; at 100 TB the
+    blocking key is an LSH bucket instead of a label."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def topk_per_query(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Batch k-NN: top-k corpus neighbors for every query row, blocked —
+    join + window top-k, the shuffle-bounded shape for query *tables*."""
+    qd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col(block_col).alias("blk")
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), F.col(block_col).alias("blk")
+    )
+    scored = (
+        qd.join(cd, "blk")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).select("qid", "cid", "cos_sim", F.col("rn").cast("long").alias("rn"))

@@ -584,6 +584,201 @@ def q_extract_main(spark, sf):
     )
 
 
+# ------------------------------------- K. training-data pipeline operators
+
+# shared normalization fragment for the SQL oracles (mirror of
+# dataprep.dedup.normalize_text)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# planted-duplicate union: every 10th doc gets an exact copy at
+# doc_id+1000000 so dedup queries have non-trivial deterministic output
+_PLANTED = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _planted_docs(spark, sf):
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+@q(
+    "q_dedup_exact",
+    f"WITH all_docs AS ({_PLANTED}) "
+    f"SELECT md5({_NORM}) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM all_docs GROUP BY 1",
+)
+def q_dedup_exact(spark, sf):
+    from ocr_tool_spark.dataprep.dedup import exact_dedup
+
+    return exact_dedup(_planted_docs(spark, sf))
+
+
+@q(
+    "q_dedup_ngram",
+    "WITH t AS (SELECT doc_id, "
+    f"list_distinct(string_split({_NORM}, ' ')) AS w FROM documents) "
+    "SELECT a.doc_id AS doc_id, "
+    "round(len(list_intersect(a.w, b.w)) / "
+    "len(list_distinct(list_concat(a.w, b.w))), 6) AS jac_next "
+    "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1",
+)
+def q_dedup_ngram(spark, sf):
+    from ocr_tool_spark.dataprep.dedup import adjacent_jaccard
+
+    return adjacent_jaccard(load_table(spark, sf, "documents"))
+
+
+@q("q_dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL; recall is
+def q_dedup_minhash(spark, sf):  # asserted against planted dups in pytest
+    from ocr_tool_spark.dataprep.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
+
+
+@q("q_dedup_simhash")  # rows-only: see q_dedup_minhash
+def q_dedup_simhash(spark, sf):
+    from ocr_tool_spark.dataprep.dedup import simhash_pairs
+
+    return simhash_pairs(_planted_docs(spark, sf), max_hamming=3)
+
+
+@q(
+    "q_embed_neardup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5",
+)
+def q_embed_neardup(spark, sf):
+    from ocr_tool_spark.dataprep.similarity import near_dup_pairs
+
+    return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
+
+
+@q(
+    "q_knn_cosine",
+    "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings e, q WHERE e.vec_id != 0 "
+    "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
+)
+def q_knn_cosine(spark, sf):
+    from ocr_tool_spark.dataprep.similarity import brute_topk
+
+    return brute_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+@q("q_knn_lsh")  # rows-only: approximate by design; recall vs brute force
+def q_knn_lsh(spark, sf):  # is asserted in pytest
+    from ocr_tool_spark.dataprep.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+@q(
+    "q_knn_batch",
+    "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid, "
+    "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings q JOIN embeddings c "
+    "ON q.label = c.label AND q.vec_id != c.vec_id WHERE q.vec_id < 20) "
+    "SELECT qid, cid, cos_sim, rn FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn "
+    "FROM scored) WHERE rn <= 5",
+)
+def q_knn_batch(spark, sf):
+    from ocr_tool_spark.dataprep.similarity import topk_per_query
+
+    e = load_table(spark, sf, "embeddings")
+    return topk_per_query(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@q(
+    "q_text_quality",
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM}, ' ') AS w, length({_NORM}) AS nc FROM documents) "
+    "SELECT doc_id, len(w)::BIGINT AS n_tokens, nc::BIGINT AS n_chars_norm, "
+    "round((nc - (len(w) - 1)) / len(w), 6) AS mean_word_len, "
+    "round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) "
+    "/ len(w), 6) AS stopword_ratio, "
+    "round(len(list_distinct(w)) / len(w), 6) AS unique_ratio, "
+    "round(least(len(w) / 200.0, 1.0) * 0.4 + "
+    "least(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) "
+    "/ len(w) * 5.0, 1.0) * 0.3 + "
+    "len(list_distinct(w)) / len(w) * 0.3, 6) AS quality_score "
+    "FROM t",
+)
+def q_text_quality(spark, sf):
+    from ocr_tool_spark.dataprep.textstats import quality_features
+
+    return quality_features(load_table(spark, sf, "documents"))
+
+
+@q(
+    "q_token_count",
+    f"SELECT doc_id, len(string_split({_NORM}, ' '))::BIGINT AS ws_tokens, "
+    f"len(regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens "
+    "FROM documents",
+)
+def q_token_count(spark, sf):
+    from ocr_tool_spark.dataprep.textstats import token_counts
+
+    return token_counts(load_table(spark, sf, "documents"))
+
+
+@q(
+    "q_lang_id",
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM}, ' ') AS w FROM documents), "
+    "s AS (SELECT doc_id, "
+    "len(list_filter(w, x -> x IN ('the','a','and')))::BIGINT AS score_en, "
+    "len(list_filter(w, x -> x IN ('der','und','die')))::BIGINT AS score_de, "
+    "len(list_filter(w, x -> x IN ('le','et','la')))::BIGINT AS score_fr, "
+    "len(list_filter(w, x -> x IN ('el','y','los')))::BIGINT AS score_es, "
+    "len(list_filter(w, x -> x IN ('de','shi','le')))::BIGINT AS score_zh FROM t) "
+    "SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh, "
+    "CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es "
+    "AND score_en >= score_zh THEN 'en' "
+    "WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de' "
+    "WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr' "
+    "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS pred_lang FROM s",
+)
+def q_lang_id(spark, sf):
+    from ocr_tool_spark.dataprep.textstats import lang_scores
+
+    return lang_scores(load_table(spark, sf, "documents"))
+
+
+@q(
+    "q_fingerprint",
+    "WITH t AS (SELECT doc_id, "
+    f"{_NORM} AS norm FROM documents) "
+    "SELECT doc_id, md5(norm) AS exact_fp, "
+    "list_aggregate([md5(substr(norm, i, 8)) "
+    "FOR i IN range(1, greatest(length(norm) - 7, 1) + 1)], 'min') AS min_gram_fp "
+    "FROM t",
+)
+def q_fingerprint(spark, sf):
+    from ocr_tool_spark.dataprep.textstats import fingerprints
+
+    return fingerprints(load_table(spark, sf, "documents"))
+
+
+@q("q_media_features")  # rows-only: synthetic media corpus, binary decode
+def q_media_features(spark, sf):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.dataprep.media import media_features
+    from ocr_tool_spark.sources.tables import media_df
+
+    _, media = fixtures.gen_corpus(80, seed=42)
+    return media_features(media_df(spark, media))
+
+
 @q("q_extract_interleaved")  # rows-only: full mixed pipeline on synthetic corpus
 def q_extract_interleaved(spark, sf):
     from ocr_tool_spark import fixtures

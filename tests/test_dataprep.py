@@ -1,0 +1,202 @@
+"""Semantic tests for the training-data-pipeline operators: dedup
+recall/precision on planted near-duplicates, ANN recall vs brute
+force, media feature extraction vs direct numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_tool_spark.dataprep import dedup, media, similarity
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _mk_docs(spark, n=40, seed=3):
+    """n base docs + a near-dup of each doc i<10 (one word appended) +
+    an exact dup of each doc i<5."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        words = [VOCAB[j] for j in rng.integers(0, len(VOCAB), 60)]
+        rows.append((i, " ".join(words)))
+    near = [(1000 + i, t + " zulu") for i, t in rows[:10]]
+    exact = [(2000 + i, t) for i, t in rows[:5]]
+    return spark.createDataFrame(rows + near + exact, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = _mk_docs(spark)
+    out = dedup.exact_dedup(d).collect()
+    # 5 groups of size 2 (exact dups), rest singletons; near-dups differ
+    sizes = sorted(r.n_copies for r in out)
+    assert sizes.count(2) == 5 and set(sizes) == {1, 2}
+    keepers = {r.keep_id for r in out if r.n_copies == 2}
+    assert keepers == {0, 1, 2, 3, 4}  # min doc_id survives
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    d = _mk_docs(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()}
+    # all 10 planted near-dup pairs and 5 exact-dup pairs recovered
+    for i in range(10):
+        assert (i, 1000 + i) in pairs, f"missed near-dup {i}"
+        assert pairs[(i, 1000 + i)] >= 0.5
+    for i in range(5):
+        assert pairs.get((i, 2000 + i)) == 1.0
+    # precision: every reported pair really has jaccard >= 0.5 by
+    # construction of the verify stage; spot-check no random-pair noise
+    planted = {(i, 1000 + i) for i in range(10)} | {(i, 2000 + i) for i in range(5)} | {
+        (1000 + i, 2000 + i) for i in range(5)
+    }
+    assert set(pairs) <= planted
+
+
+def test_simhash_finds_exact_and_near_dups(spark):
+    d = _mk_docs(spark)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(d, max_hamming=8).collect()}
+    for i in range(5):
+        assert got.get((i, 2000 + i)) == 0  # identical text -> identical sig
+    near_found = sum((i, 1000 + i) in got for i in range(10))
+    assert near_found >= 7  # one appended word flips few bits
+
+
+def test_simhash_order_invariance(spark):
+    """Simhash is a bag-of-words signature: permuting tokens preserves it."""
+    d = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta"), (2, "delta charlie bravo alpha")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in dedup.with_simhash(d).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_lsh_topk_recall_vs_brute(spark, sf_dir_mid):
+    # driver corpus is near-orthogonal random vectors (top-10 cos ≈ 0.4),
+    # the hardest case for cosine LSH — expect moderate recall only
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    brute = {r.vec_id: r.cos_sim for r in similarity.brute_topk(e, 0, k=10).collect()}
+    approx = {r.vec_id: r.cos_sim for r in
+              similarity.lsh_topk(e, 0, k=10, n_bits=4, n_tables=8).collect()}
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+    # scores for overlapping ids must agree exactly with brute force
+    for vid in set(brute) & set(approx):
+        assert brute[vid] == approx[vid]
+
+
+def test_lsh_topk_on_clustered_vectors(spark):
+    """On clustered data (the realistic near-dup regime, cos ≈ 0.99)
+    LSH recall must be essentially perfect."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = base[c] + rng.normal(scale=0.05, size=32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = [r.vec_id for r in similarity.brute_topk(e, 0, k=9).collect()]
+    approx = [r.vec_id for r in
+              similarity.lsh_topk(e, 0, k=9, dim=32, n_bits=6, n_tables=6).collect()]
+    recall = len(set(brute) & set(approx)) / 9
+    assert recall >= 0.85, f"clustered LSH recall {recall}"
+
+
+def test_media_features_vs_numpy(spark):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.sources.tables import media_df
+
+    _, media_rows = fixtures.gen_corpus(30, seed=5)
+    store = media_df(spark, media_rows)
+    got = {r.media_ref: r for r in media.media_features(store).collect()}
+    assert len(got) == len(media_rows)
+    for m in media_rows:
+        pages = np.frombuffer(m["bitmap"], dtype=np.uint8).reshape(
+            m["n_pages"], m["height"], m["width"]
+        )
+        r = got[m["media_ref"]]
+        assert r.n_bytes == len(m["bitmap"])
+        assert r.ink_ratio == pytest.approx(float((pages > 0).mean()))
+        assert r.nonblank_rows == int((pages[0] > 0).any(axis=1).sum())
+
+
+def test_thumbnails_shape_and_determinism(spark):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.sources.tables import media_df
+
+    _, media_rows = fixtures.gen_corpus(10, seed=5)
+    store = media_df(spark, media_rows)
+    t1 = {r.media_ref: r.thumbnail for r in media.thumbnails(store, size=8).collect()}
+    t2 = {r.media_ref: r.thumbnail for r in media.thumbnails(store, size=8).collect()}
+    assert t1 == t2
+    assert all(len(v) == 64 for v in t1.values())
+
+
+def test_frame_sample_strides_pages(spark):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.sources.tables import media_df
+
+    _, media_rows = fixtures.gen_corpus(80, seed=42)
+    multi = [m for m in media_rows if m["n_pages"] >= 3]
+    assert multi, "fixture corpus should contain multi-page pdfs"
+    store = media_df(spark, multi)
+    out = media.frame_sample(store, stride=2).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r.media_ref, []).append(r.page_idx)
+    for m in multi:
+        assert sorted(by_ref[m["media_ref"]]) == list(range(0, m["n_pages"], 2))
+        w, h = m["width"], m["height"]
+        frame = next(r.frame for r in out if r.media_ref == m["media_ref"])
+        assert len(frame) == w * h
+
+
+def test_audio_decode_is_stubbed(spark):
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.sources.tables import media_df
+
+    with pytest.raises(NotImplementedError):
+        media.decode_audio(b"\x00\x01")
+    # the Spark plumbing around the stub is real: the plan builds and
+    # fails only at execution time inside the UDF
+    _, media_rows = fixtures.gen_corpus(3, seed=5)
+    df = media.audio_features(media_df(spark, media_rows))
+    assert [f.name for f in df.schema.fields] == [
+        "media_ref", "sample_rate", "n_samples", "rms"
+    ]
+    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        df.collect()
+
+
+def test_fingerprint_stability_under_whitespace(spark):
+    from ocr_tool_spark.dataprep import textstats
+
+    d = spark.createDataFrame(
+        [(1, "Alpha  Bravo\tcharlie"), (2, "alpha bravo charlie")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: (r.exact_fp, r.min_gram_fp) for r in textstats.fingerprints(d).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_quality_score_ranks_degenerate_text_lower(spark):
+    from ocr_tool_spark.dataprep import textstats
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is nice to sit in the sun of june"),
+            (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.quality_score for r in textstats.quality_features(d).collect()}
+    assert s[1] > s[2]
