@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_tool_spark.session import build_session  # noqa: E402
 
 
-def _count(df):
-    return df.count()
+def _run(df):
+    """Materialize every column (noop sink): a bare count() would let
+    Catalyst prune unused aggregates/UDFs and measure nothing."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -62,29 +64,28 @@ def main() -> None:
     bdocs = spark.read.parquet(f"{tmp}/docs")
     bmedia = spark.read.parquet(f"{tmp}/media")
 
-    n_docs_text = None
+    n_docs_text = interleaved_from_documents(spark, sf_dir).count()
 
     def ext_text():
-        nonlocal n_docs_text
-        n_docs_text = _count(extract_documents(interleaved_from_documents(spark, sf_dir)))
+        _run(extract_documents(interleaved_from_documents(spark, sf_dir)))
 
     def ext_mixed():
-        _count(extract_documents(bdocs, bmedia, salt=8))
+        _run(extract_documents(bdocs, bmedia, salt=8))
 
     bench = {
         "ext_text": ext_text,
         "ext_mixed": ext_mixed,
-        "agg_groupby": lambda: _count(q["q_agg_groupby"](spark, sf_dir)),
-        "join_sm": lambda: _count(q["q_join_sm"](spark, sf_dir)),
-        "window_rownum": lambda: _count(q["q_window_rownum"](spark, sf_dir)),
-        "topk_group": lambda: _count(q["q_topk_group"](spark, sf_dir)),
-        "range_join": lambda: _count(q["q_range_join"](spark, sf_dir)),
+        "agg_groupby": lambda: _run(q["q_agg_groupby"](spark, sf_dir)),
+        "join_sm": lambda: _run(q["q_join_sm"](spark, sf_dir)),
+        "window_rownum": lambda: _run(q["q_window_rownum"](spark, sf_dir)),
+        "topk_group": lambda: _run(q["q_topk_group"](spark, sf_dir)),
+        "range_join": lambda: _run(q["q_range_join"](spark, sf_dir)),
     }
     # training-data ops are registered lazily (round >=1 additions)
     for extra in ("q_dedup_minhash", "q_knn_cosine", "q_text_quality"):
         if extra in q:
             bench[extra.removeprefix("q_")] = (
-                lambda name=extra: _count(q[name](spark, sf_dir))
+                lambda name=extra: _run(q[name](spark, sf_dir))
             )
 
     # warm-up: JVM/codegen/Arrow path init on a trivial action

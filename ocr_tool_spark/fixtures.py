@@ -67,15 +67,20 @@ def _gen_text_block(rng: random.Random, n_lines: int, width: int) -> np.ndarray:
     return render_block([_ocr_line(rng, width) for _ in range(n_lines)])
 
 
-def _gen_page(rng: random.Random, n_cols: int) -> np.ndarray:
+def _gen_page(rng: random.Random, n_cols: int, heavy: bool = False) -> np.ndarray:
+    # heavy: realistic scanned-page density (bench corpus) vs the small
+    # pages the correctness fixtures use
+    n_blocks = (4, 8) if heavy else (1, 3)
+    n_lines = (6, 16) if heavy else (1, 4)
+    line_w = (18, 30) if heavy else (8, 12)
     cols = []
     for _ in range(n_cols):
         blocks = []
-        for _ in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(*n_blocks)):
             if rng.random() < 0.15:
                 blocks.append(render_figure(rng.randint(12, 24), rng.randint(20, 48)))
             else:
-                blocks.append(_gen_text_block(rng, rng.randint(1, 4), rng.randint(8, 12)))
+                blocks.append(_gen_text_block(rng, rng.randint(*n_lines), rng.randint(*line_w)))
         cols.append(blocks)
     return _gen_page_pad(_page := render_page(cols))
 
@@ -84,7 +89,7 @@ def _gen_page_pad(page: np.ndarray) -> np.ndarray:
     return page
 
 
-def gen_media_store(n_media: int, seed: int = 42) -> list[dict]:
+def gen_media_store(n_media: int, seed: int = 42, heavy: bool = False) -> list[dict]:
     """n_media raster payloads; ~40% multi-page multi-column PDFs."""
     out = []
     for i in range(n_media):
@@ -92,12 +97,12 @@ def gen_media_store(n_media: int, seed: int = 42) -> list[dict]:
         is_pdf = rng.random() < 0.4
         if is_pdf:
             n_pages = rng.randint(1, 3)
-            pages = [_gen_page(rng, rng.randint(2, 3)) for _ in range(n_pages)]
+            pages = [_gen_page(rng, rng.randint(2, 3), heavy) for _ in range(n_pages)]
             ref = f"pdf:{i:05d}"
             kind = MEDIA_KIND_PDF
         else:
             n_pages = 1
-            pages = [_gen_page(rng, 1)]
+            pages = [_gen_page(rng, 1, heavy)]
             ref = f"img:{i:05d}"
             kind = MEDIA_KIND_IMAGE
         h = max(p.shape[0] for p in pages)
@@ -144,8 +149,10 @@ def _main_para(rng: random.Random) -> str:
     return s
 
 
-def gen_html(rng: random.Random) -> str:
-    paras = [f"<p>{_main_para(rng)}</p>" for _ in range(rng.randint(2, 6))]
+def gen_html(rng: random.Random, heavy: bool = False) -> str:
+    # heavy: realistic web-page size (~4-10 KB) for bench corpora
+    n_paras = (12, 28) if heavy else (2, 6)
+    paras = [f"<p>{_main_para(rng)}</p>" for _ in range(rng.randint(*n_paras))]
     if rng.random() < 0.5 and len(paras) >= 2:
         cap = " ".join(rng.choice(_WORDS_LOWER) for _ in range(2))
         paras.insert(rng.randint(1, len(paras) - 1), f"<p>{cap}</p>")
@@ -188,11 +195,13 @@ def gen_corpus(
     n_media: int | None = None,
     seed: int = 42,
     skew: bool = True,
+    heavy: bool = False,
 ) -> tuple[list[dict], list[dict]]:
-    """Returns (documents_interleaved, media_store) as plain dicts."""
+    """Returns (documents_interleaved, media_store) as plain dicts.
+    heavy=True generates realistic web-scale document sizes (bench)."""
     if n_media is None:
         n_media = max(16, n_docs // 8)
-    media = gen_media_store(n_media, seed=seed)
+    media = gen_media_store(n_media, seed=seed, heavy=heavy)
     refs = [m["media_ref"] for m in media]
     n_skew = max(1, n_docs // 100) if skew else 0
     docs = []
@@ -218,7 +227,7 @@ def gen_corpus(
                 slots = [KIND_TEXT, KIND_MEDIA, KIND_TEXT]
         for off, kind in enumerate(slots):
             if kind == KIND_TEXT:
-                spans.append(_span(KIND_TEXT, gen_html(rng), None, off))
+                spans.append(_span(KIND_TEXT, gen_html(rng, heavy), None, off))
             else:
                 spans.append(_span(KIND_MEDIA, None, rng.choice(refs), off))
         docs.append({"doc_id": f"doc-{i:06d}", "spans": spans})

@@ -584,6 +584,60 @@ def q_extract_main(spark, sf):
     )
 
 
+# ------------------------------- D7/H4 grouped-map + H6 UDTF surfaces
+
+
+@q(
+    "q_grouped_map",
+    "SELECT doc_id, round(n_chars - avg(n_chars) OVER (PARTITION BY source), 6) "
+    "AS chars_delta FROM documents",
+)
+def q_grouped_map(spark, sf):
+    """applyInPandas grouped-map (SURVEY.md D7/H4): per-source
+    mean-centering of n_chars. The pandas fn sees one whole group at a
+    time — the same execution surface the per-doc DOM-walk variant
+    uses — while the oracle is a plain window aggregate."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "chars_delta": (pdf["n_chars"] - pdf["n_chars"].mean()).round(6),
+            }
+        )
+        return out
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return d.groupBy("source").applyInPandas(center, "doc_id long, chars_delta double")
+
+
+@q(
+    "q_udtf_split",
+    "SELECT doc_id, part_idx, part FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS part, "
+    "unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS part_idx "
+    "FROM documents WHERE doc_id < 50)",
+)
+def q_udtf_split(spark, sf):
+    """Python UDTF (SURVEY.md H6, Spark 4): 1→N row expansion with
+    position tracking — the span-segmentation shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_idx long, part string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    d = load_table(spark, sf, "documents")
+    d.filter(F.col("doc_id") < 50).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, part_idx, part FROM _udtf_docs, "
+        "LATERAL split_words(text)"
+    )
+
+
 # ------------------------------------- K. training-data pipeline operators
 
 # shared normalization fragment for the SQL oracles (mirror of

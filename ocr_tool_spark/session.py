@@ -34,8 +34,20 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # split sizing: Python-UDF stages cost ~100x the scan per byte,
+        # so scan partitions must outnumber cores even for GB-scale
+        # inputs — 8 MB splits give a 250 MB corpus ~32 tasks. On a
+        # 1000-executor cluster against 100 TB, raise to 128m+ (see
+        # docs/cluster_profile.md); partition counts are plentiful there.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # row cap sized for the binary bitmap column: realistic scanned
+        # pages are ~0.5 MB, so 256 rows ≈ 128 MB per Arrow batch per
+        # Python worker (×32 workers ≈ 4 GB peak on a 128 GB box); the
+        # default 10k rows would be ~5 GB per worker. Text-only batches
+        # just get more (cheap) batches.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
