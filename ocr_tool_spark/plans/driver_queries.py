@@ -558,6 +558,21 @@ def q_sliding(spark, sf):
     )
 
 
+@q("q_session_window")  # rows-only: gap-based sessionization is engine-specific
+def q_session_window(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w")["start"].alias("sess_start"),
+            F.col("w")["end"].alias("sess_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
 # ------------------------------------------------ I. extraction (flagship)
 
 

@@ -23,26 +23,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_tool_spark.constants import KIND_MEDIA, KIND_TEXT
+from ocr_tool_spark.constants import KIND_MEDIA, KIND_TEXT, OCR_PAGE_JOIN
 from ocr_tool_spark.functions.html import with_main_text
 from ocr_tool_spark.functions.ocr import ocr_media_udf
 from ocr_tool_spark.operators.spans import explode_spans, reassemble, route
 
 
-def ocr_referenced_media(media_spans: DataFrame, media_store: DataFrame) -> DataFrame:
+def ocr_referenced_media(
+    media_spans: DataFrame, media_store: DataFrame, per_page: bool = True
+) -> DataFrame:
     """-> (media_ref, text, ocr_ms): one OCR invocation per distinct
-    referenced media payload."""
+    referenced media payload.
+
+    per_page=True explodes multi-page payloads into one row per page
+    BEFORE the Python stage (JVM-side binary slicing), so the OCR work
+    unit is a page, not a whole PDF: a 5-page scan no longer holds a
+    task slot 5x longer than its peers (the straggler tail of the OCR
+    stage is the dominant skew at scale). Page texts are re-joined per
+    payload by a small-text shuffle; ocr_ms is the summed page cost so
+    lineage percentiles keep meaning.
+    """
     refs = media_spans.select("media_ref").distinct()
     needed = media_store.join(refs, "media_ref", "left_semi")
     res = F.col("_ocr")
+    if not per_page:
+        return (
+            needed.withColumn(
+                "_ocr", ocr_media_udf("bitmap", "width", "height", "n_pages")
+            )
+            .select(
+                "media_ref",
+                res["text"].alias("text"),
+                res["ocr_ms"].alias("ocr_ms"),
+            )
+        )
+    pages = needed.select(
+        "media_ref",
+        "width",
+        "height",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, n_pages - 1), "
+                "p -> substring(bitmap, p * height * width + 1, height * width))"
+            )
+        ).alias("page_idx", "page"),
+    )
+    per = pages.withColumn(
+        "_ocr", ocr_media_udf("page", "width", "height", F.lit(1))
+    ).select(
+        "media_ref",
+        "page_idx",
+        res["text"].alias("_pt"),
+        res["ocr_ms"].alias("_pms"),
+    )
+    # reassemble pages in order; empty pages are skipped, matching the
+    # single-call read_media semantics exactly
     return (
-        needed.withColumn(
-            "_ocr", ocr_media_udf("bitmap", "width", "height", "n_pages")
+        per.groupBy("media_ref")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("page_idx", "_pt"))).alias("_ps"),
+            F.sum("_pms").alias("ocr_ms"),
         )
         .select(
             "media_ref",
-            res["text"].alias("text"),
-            res["ocr_ms"].alias("ocr_ms"),
+            F.array_join(
+                F.filter(
+                    F.transform("_ps", lambda s: s["_pt"]), lambda t: t != ""
+                ),
+                OCR_PAGE_JOIN,
+            ).alias("text"),
+            "ocr_ms",
         )
     )
 
