@@ -16,6 +16,17 @@ a broadcast hash join; at 10^12-doc scale it degrades gracefully to a
 shuffled join that AQE can skew-split. OCR-per-distinct-ref trades one
 extra exchange for never OCR-ing a shared scan twice — at mostly-unique
 media it costs ~nothing (the exchange carries refs, not bitmaps).
+
+Verified with the event-log profile (scripts/scaling_bench.py): the
+two dominant stages — text scan→explode→DOM-UDF→partial-agg and
+semi-join→page-explode→OCR-UDF→page-regroup — each run at 0.85-0.98
+task-parallel utilization at 32 cores; the plan has no serial hot
+spot. Known, accepted cost: the docs table is scanned three times
+(text branch, media branch, distinct-ref derivation — the last is
+column-pruned to `spans` only). Fusing them needs a cache/checkpoint
+barrier whose write cost exceeds a pruned columnar re-scan at every
+scale we measured; the resumable runner persists the exploded frame
+instead, which serves the same purpose per partition batch.
 """
 
 from __future__ import annotations
