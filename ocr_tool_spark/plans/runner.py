@@ -149,7 +149,21 @@ class PipelineRunner:
                     spans.select("doc_id", "kind", "text", "media_ref", "offset"),
                     salt=self.salt,
                 )
+                # D9: observe() rides the commit job — doc/span counts come
+                # out of the append action itself, no extra pass
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                out = out.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum(F.size("spans")).alias("spans"),
+                )
+                # obs.get blocks until the observed plan executes — which
+                # never happens if the append was an idempotent no-op
+                already = batch_id in self.output.committed_batches()
                 snapshot_id = self.output.append(out, batch_id=batch_id)
+                observed = {} if already else dict(obs.get)
 
                 metrics = (
                     spans.groupBy("partition_id")
@@ -166,7 +180,7 @@ class PipelineRunner:
             finally:
                 spans.unpersist()
             elapsed = max(time.perf_counter() - t0, 1e-9)
-            total_docs = sum(m.docs for m in metrics) or 0
+            total_docs = int(observed.get("docs") or sum(m.docs for m in metrics))
             lineage_rows = [
                 (
                     run_id,

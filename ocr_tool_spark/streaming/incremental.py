@@ -113,6 +113,54 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete") 
     return stream_df.sparkSession.table(name)
 
 
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """L7 arbitrary stateful op: per-user running event count + value
+    sum via applyInPandasWithState.
+
+    ``timeout_minutes`` opts into ProcessingTimeTimeout state expiry
+    for long-lived continuous streams. Leave it None for
+    ``trigger(availableNow=True)`` runs: a processing-time timeout
+    keeps the availableNow query alive spinning on timeout-only
+    invocations (observed: a 4 s job became a 10+ minute hang), since
+    the trigger waits to drain timed-out state that keeps re-arming.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+    use_timeout = timeout_minutes is not None
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if use_timeout:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_extract(
     docs_stream: DataFrame,
     sink: SnapshotTable,
