@@ -145,6 +145,54 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN: KMeans coarse quantizer
+    partitions the corpus into cells; a probe scores only the nprobe
+    cells nearest its query vector — scanning ~nprobe/n_centroids of
+    the corpus. The index (cell assignment) is the one-off cost,
+    amortized over all probes; centroids live on the driver (tiny) so
+    probe-cell selection is free. Deterministic via fixed seed."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assembled = embeddings.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v").fit(assembled)
+    assigned = model.transform(assembled).withColumnRenamed("prediction", "_cell")
+
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    qv = np.array(qrow[0], dtype=np.float64)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    d = ((centers - qv) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d)[:nprobe]]
+
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_vec_id).select(
+            F.col(vec_col).alias("_qv")
+        )
+    )
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -750,6 +750,13 @@ def q_knn_lsh(spark, sf):  # is asserted in pytest
     return lsh_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+@q("q_knn_ivf")  # rows-only: approximate by design; recall vs brute in pytest
+def q_knn_ivf(spark, sf):
+    from ocr_tool_spark.dataprep.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 @q(
     "q_knn_batch",
     "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid, "

@@ -200,3 +200,33 @@ def test_quality_score_ranks_degenerate_text_lower(spark):
     )
     s = {r.doc_id: r.quality_score for r in textstats.quality_features(d).collect()}
     assert s[1] > s[2]
+
+
+def test_ivf_topk_on_clustered_vectors(spark):
+    """IVF with a KMeans coarse quantizer must recover essentially all
+    true neighbors on clustered data when probing the right cells."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = base[c] + rng.normal(scale=0.05, size=32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = [r.vec_id for r in similarity.brute_topk(e, 0, k=9).collect()]
+    approx = [r.vec_id for r in
+              similarity.ivf_topk(e, 0, k=9, n_centroids=10, nprobe=3).collect()]
+    recall = len(set(brute) & set(approx)) / 9
+    assert recall >= 0.85, f"IVF recall {recall}"
+
+
+def test_ivf_topk_runs_on_driver_corpus(spark, sf_dir_mid):
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    out = similarity.ivf_topk(e, 0, k=10, n_centroids=8, nprobe=8)
+    rows = out.collect()
+    assert len(rows) == 10
+    # nprobe == n_centroids -> exhaustive -> must equal brute force
+    brute = [(r.vec_id, r.cos_sim) for r in similarity.brute_topk(e, 0, k=10).collect()]
+    assert [(r.vec_id, r.cos_sim) for r in rows] == brute
