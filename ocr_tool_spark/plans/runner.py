@@ -145,10 +145,14 @@ class PipelineRunner:
             )
             spans.persist()
             try:
+                # partition-local sort clusters output files by doc_id so
+                # the committed table's min/max column stats prune scans
+                # (SURVEY.md F2); no extra shuffle — sorts within the
+                # reassembly's existing hash partitions
                 out = reassemble(
                     spans.select("doc_id", "kind", "text", "media_ref", "offset"),
                     salt=self.salt,
-                )
+                ).sortWithinPartitions("doc_id")
                 # D9: observe() rides the commit job — doc/span counts come
                 # out of the append action itself, no extra pass
                 from pyspark.sql import Observation

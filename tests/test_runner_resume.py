@@ -73,3 +73,31 @@ def test_kill_resume_bit_identical(spark, tmp_path, corpus):
     assert all(r.spans >= r.docs for r in rows.values())
     media_parts = [r for r in rows.values() if r.media_spans > 0]
     assert media_parts and all(r.ocr_ms_p50 is not None for r in media_parts)
+
+
+def test_crashed_halfway_commit_is_invisible(spark, tmp_path):
+    """A manifest written but not HEAD-swung (crash between the two
+    steps) must be invisible to readers and harmless to re-append."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(4).selectExpr("id", "id * 3 AS v")
+    t.append(df, batch_id="b1")
+    head_before = t.current_snapshot_id()
+
+    # simulate: next manifest exists on disk, HEAD never swung
+    orphan = {"snapshot_id": head_before + 1, "parent": head_before,
+              "batches": {"b1": [], "ghost": ["/nonexistent.parquet"]}}
+    with open(t._manifest_path(head_before + 1), "w") as f:
+        json.dump(orphan, f)
+
+    assert t.current_snapshot_id() == head_before
+    assert t.read(spark).count() == 4          # ghost files never read
+    assert t.committed_batches() == {"b1"}
+
+    # a real append after the crash overwrites the orphan manifest slot
+    t.append(spark.range(2).selectExpr("id + 10 AS id", "id AS v"), batch_id="b2")
+    assert t.current_snapshot_id() == head_before + 1
+    assert t.read(spark).count() == 6
+    assert t.committed_batches() == {"b1", "b2"}
