@@ -82,7 +82,7 @@ def main() -> None:
         "range_join": lambda: _run(q["q_range_join"](spark, sf_dir)),
     }
     # training-data ops are registered lazily (round >=1 additions)
-    for extra in ("q_dedup_minhash", "q_knn_cosine", "q_text_quality"):
+    for extra in ("q_dedup_minhash", "q_knn_cosine", "q_text_quality", "q_tpch_q1", "q_tpch_q5"):
         if extra in q:
             bench[extra.removeprefix("q_")] = (
                 lambda name=extra: _run(q[name](spark, sf_dir))

@@ -80,13 +80,13 @@ def q_project(spark, sf):
 @q(
     "q_filter",
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-    "WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00' AND l_discount > 0.05 "
+    "WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' AND l_discount > 0.05 "
     "AND l_returnflag = 'N'",
 )
 def q_filter(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount") > 0.05)
         & (F.col("l_returnflag") == "N")
     ).select("l_orderkey", "l_linenumber", "l_quantity")
@@ -596,6 +596,106 @@ def q_extract_main(spark, sf):
     out = extract_documents(docs)
     return out.select(
         "doc_id", F.element_at("spans", 1)["text"].alias("main_text")
+    )
+
+
+# --------------------------------------- TPC-H-style analytic headliners
+
+
+@q(
+    "q_tpch_q3",
+    "SELECT l_orderkey, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1997-06-15' "
+    "AND l_shipdate > DATE '1997-06-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue_c DESC, o_orderdate, l_orderkey LIMIT 20",
+)
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (shipping-priority): selective filters pushed to
+    all three scans, two shuffled joins, agg, global top-k."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-15").cast("date"))
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .select("l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_c"), "o_orderdate", "l_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q5",
+    "SELECT n_name, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name",
+)
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (local supplier volume): five-way join where the
+    dimension chain (supplier/nation/region) broadcasts and the
+    fact-side joins shuffle; Catalyst reorders the broadcasts freely."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    su = F.broadcast(load_table(spark, sf, "supplier"))
+    n = F.broadcast(load_table(spark, sf, "nation"))
+    r = F.broadcast(load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(su, (li.l_suppkey == su.s_suppkey) & (c.c_nationkey == su.s_nationkey))
+        .join(n, su.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+
+
+@q(
+    "q_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+    "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_c, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_c, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_c, "
+    "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
+    "FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 shape (pricing summary): the canonical wide hash
+    aggregate with partial map-side combine; one scan, one exchange."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_c"),
+        F.round(F.sum(disc) * 100).cast("long").alias("sum_disc_c"),
+        F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))) * 100).cast("long").alias("sum_charge_c"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("n"),
     )
 
 
