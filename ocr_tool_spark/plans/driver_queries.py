@@ -599,6 +599,51 @@ def q_extract_main(spark, sf):
     )
 
 
+# ---------------------------------- A2/A5/J4 snapshot + lineage surfaces
+
+
+@q("q_snapshot_time_travel")  # rows-only: snapshot-read of the local
+def q_snapshot_time_travel(spark, sf):  # Iceberg-emulating adapter
+    """Two committed appends; returns the table AS OF snapshot 0 —
+    exercises the manifest-chain time travel the resume path relies
+    on. Idempotent across invocations (batch-id keyed appends)."""
+    from ocr_tool_spark.storage.adapter import SnapshotTable
+
+    t = SnapshotTable("/tmp/ocr_q_snapshot_demo")
+    t.append(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), batch_id="b1"
+    )
+    t.append(
+        spark.range(3).selectExpr("id + 100 AS k", "id AS v"), batch_id="b2"
+    )
+    return t.read(spark, snapshot_id=0).orderBy("k")
+
+
+@q("q_pipeline_lineage")  # rows-only: per-partition lineage of a real
+def q_pipeline_lineage(spark, sf):  # (tiny) resumable pipeline run
+    """Runs the partitioned extraction pipeline over a 24-doc fixture
+    corpus through the snapshot-committing runner and returns its
+    lineage table — docs/spans/media counts per partition. Re-running
+    is a no-op (C5 anti-join), so the result is stable."""
+    from ocr_tool_spark import fixtures
+    from ocr_tool_spark.plans.runner import PipelineRunner
+    from ocr_tool_spark.sources.tables import docs_df, media_df
+
+    docs, media = fixtures.gen_corpus(24, seed=3)
+    runner = PipelineRunner(
+        spark, "/tmp/ocr_q_lineage_demo", n_partitions=4, batch_partitions=2
+    )
+    runner.run(docs_df(spark, docs), media_df(spark, media), run_id="demo")
+    return (
+        runner.lineage.read(spark)
+        .filter(F.col("run_id") == "demo")
+        .select(
+            "run_id", "partition_id", "docs", "spans", "text_spans", "media_spans"
+        )
+        .orderBy("partition_id")
+    )
+
+
 # --------------------------------------- TPC-H-style analytic headliners
 
 
