@@ -42,7 +42,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             return v.isoformat()
         return str(v)
 
-    out = df.apply(lambda col: col.map(cell))
+    # astype(object): empty frames otherwise keep their source dtypes
+    # and .equals() fails on dtype alone with zero rows
+    out = df.apply(lambda col: col.map(cell)).astype(object)
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
