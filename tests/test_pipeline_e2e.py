@@ -14,7 +14,7 @@ from ocr_tool_spark.operators.spans import explode_spans, reassemble
 from ocr_tool_spark.plans.pipeline import extract_documents
 from ocr_tool_spark.sources.tables import docs_df, media_df
 
-N_DOCS = 150
+N_DOCS = 300
 
 
 @pytest.fixture(scope="module")
