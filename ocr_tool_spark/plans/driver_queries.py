@@ -407,6 +407,42 @@ def q_limit(spark, sf):
 
 
 @q(
+    "q_intersect",
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+)
+def q_intersect(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@q(
+    "q_entity_decode",
+    "SELECT doc_id, replace(replace(replace(replace(replace("
+    "'&amp;lt; ' || text || ' &amp; &#65;&gt;', "
+    "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+    "'&#65;', 'A') AS decoded FROM documents",
+)
+def q_entity_decode(spark, sf):
+    """G3 HTML entity decode as chained replaces — the same named +
+    numeric entity set the extraction pipeline's tokenizer decodes,
+    oracle-checkable because replace-chains evaluate identically.
+    The '&amp;lt;' prefix pins the decode ORDER (amp first would
+    yield '<'; this chain yields '&lt;' literally after one pass)."""
+    d = load_table(spark, sf, "documents")
+    c = F.concat(F.lit("&amp;lt; "), F.col("text"), F.lit(" &amp; &#65;&gt;"))
+    for src, dst in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#65;", "A")
+    ):
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return d.select("doc_id", c.alias("decoded"))
+
+
+@q(
     "q_union",
     "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0 "
     "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000",
