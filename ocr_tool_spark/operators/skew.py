@@ -36,7 +36,16 @@ def salted_join(
     ``salt_source``: a probe column whose per-row variety spreads the
     hot key (defaults to the whole-row via monotonically varying
     xxhash64 of all probe columns).
+
+    Only probe-preserving join types are allowed: the build side is
+    replicated `salt` times, so for right/full joins every unmatched
+    build row would surface `salt` times in the output.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "build-side replication would duplicate unmatched build rows"
+        )
     if salt_source is None:
         salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))
     else:

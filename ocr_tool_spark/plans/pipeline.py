@@ -68,7 +68,10 @@ def ocr_referenced_media(
                 res["ocr_ms"].alias("ocr_ms"),
             )
         )
-    pages = needed.select(
+    # n_pages <= 0 (empty/malformed media) must degrade to "" like the
+    # single-call read_media path — without the guard, sequence(0, -1)
+    # yields a descending [0,-1] and the UDF reshape crashes the job
+    pages = needed.filter(F.col("n_pages") > 0).select(
         "media_ref",
         "width",
         "height",

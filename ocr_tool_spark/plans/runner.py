@@ -50,6 +50,21 @@ def deterministic_run_id(*parts: str) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def input_fingerprint(docs: DataFrame) -> str:
+    """Identity of the *input data*, not just the config: schema + source
+    files + canonicalized-plan hash (covers in-memory LocalRelations,
+    whose data is part of the plan). Folded into the default run_id so
+    the same work_dir with a different --input can never silently reuse
+    a stale staged directory."""
+    basis = [docs.schema.simpleString()]
+    basis.extend(sorted(docs.inputFiles()))
+    try:
+        basis.append(str(docs.semanticHash()))
+    except Exception:
+        pass  # connect-mode or API drift: schema+files still distinguish paths
+    return hashlib.sha256("|".join(basis).encode()).hexdigest()[:16]
+
+
 def with_partition_id(docs: DataFrame, n_partitions: int) -> DataFrame:
     return docs.withColumn(
         "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
@@ -93,10 +108,23 @@ class PipelineRunner:
         return os.path.join(self.work_dir, f"stage-{run_id}")
 
     def stage_input(self, docs: DataFrame, run_id: str) -> str:
-        """Write the hash-partitioned input once; reuse on resume."""
+        """Write the hash-partitioned input once; reuse on resume.
+        The _STAGED marker records the input fingerprint — resuming the
+        same run_id with a *different* input fails loudly instead of
+        silently skipping all partitions via the lineage anti-join."""
         stage = self._stage_dir(run_id)
         done = os.path.join(stage, "_STAGED")
-        if not os.path.exists(done):
+        fp = input_fingerprint(docs)
+        if os.path.exists(done):
+            with open(done) as f:
+                staged_fp = f.read().strip()
+            if staged_fp != fp:
+                raise ValueError(
+                    f"staged input at {stage} was built from a different input "
+                    f"(fingerprint {staged_fp} != {fp}); delete the stage dir "
+                    "or use a distinct run_id per input"
+                )
+        else:
             (
                 with_partition_id(docs, self.n_partitions)
                 .repartition("partition_id")
@@ -105,7 +133,7 @@ class PipelineRunner:
                 .parquet(stage)
             )
             with open(done, "w") as f:
-                f.write("ok")
+                f.write(fp)
         return stage
 
     # -- the commit loop ------------------------------------------------
@@ -120,7 +148,7 @@ class PipelineRunner:
         """Process all pending partitions; returns run_id.
         ``max_batches`` lets tests simulate a kill mid-run."""
         run_id = run_id or deterministic_run_id(
-            str(self.n_partitions), str(self.salt), self.work_dir
+            input_fingerprint(docs), str(self.n_partitions), str(self.salt), self.work_dir
         )
         stage = self.stage_input(docs, run_id)
         pending = sorted(set(range(self.n_partitions)) - self.committed_partitions(run_id))

@@ -68,3 +68,24 @@ def test_doc_order_permutation_invariance(spark, corpus):
     fwd = extract_documents(d, m)
     rev = extract_documents(docs_df(spark, list(reversed(docs))), m)
     assert pass_rate(fwd, rev) == 1.0
+
+
+def test_zero_page_media_degrades_to_empty_text(spark):
+    """A media row with n_pages=0 must yield an empty-text span (like
+    read_media("") in the spec), not crash the per-page explode."""
+    docs = [{
+        "doc_id": "z0",
+        "spans": [
+            {"kind": "media", "text": None, "media_ref": "img:zero", "offset": 0},
+        ],
+    }]
+    media = [{
+        "media_ref": "img:zero", "media_kind": "image",
+        "width": 4, "height": 4, "n_pages": 0, "bitmap": b"",
+    }]
+    out = extract_documents(docs_df(spark, docs), media_df(spark, media)).collect()
+    assert len(out) == 1
+    span = out[0].spans[0]
+    assert (span.kind, span.text, span.media_ref, span.offset) == (
+        "media", "", "img:zero", 0
+    )

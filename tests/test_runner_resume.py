@@ -101,3 +101,25 @@ def test_crashed_halfway_commit_is_invisible(spark, tmp_path):
     assert t.current_snapshot_id() == head_before + 1
     assert t.read(spark).count() == 6
     assert t.committed_batches() == {"b1", "b2"}
+
+
+def test_stale_stage_different_input_fails_loudly(spark, tmp_path):
+    """Same work_dir + same explicit run_id + different input must
+    raise, not silently reuse the stale staged parquet (ADVICE r1)."""
+    docs_a, _ = fixtures.gen_corpus(8, seed=1)
+    docs_b, _ = fixtures.gen_corpus(8, seed=2)
+    runner = PipelineRunner(spark, str(tmp_path / "w"), n_partitions=2)
+    runner.run(docs_df(spark, docs_a), run_id="pinned")
+    with pytest.raises(ValueError, match="different input"):
+        runner.run(docs_df(spark, docs_b), run_id="pinned")
+
+
+def test_default_run_id_differs_per_input(spark, tmp_path):
+    """Default run_id folds in input identity: two different inputs in
+    the same work_dir get distinct run ids (and distinct stage dirs)."""
+    docs_a, _ = fixtures.gen_corpus(8, seed=1)
+    docs_b, _ = fixtures.gen_corpus(8, seed=2)
+    runner = PipelineRunner(spark, str(tmp_path / "w"), n_partitions=2)
+    rid_a = runner.run(docs_df(spark, docs_a))
+    rid_b = runner.run(docs_df(spark, docs_b))
+    assert rid_a != rid_b

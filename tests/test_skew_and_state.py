@@ -88,3 +88,15 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for uid, (n, tot) in exp.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tot) < 1e-6
+
+
+def test_salted_join_rejects_build_preserving_how(spark, sf_dir):
+    import pytest as _pytest
+
+    from ocr_tool_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, c, on="o_custkey", how=how)
