@@ -25,7 +25,9 @@ multipliers — deterministic across runs and partitionings (J5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: universal-hash modulus. Shingle hashes are
@@ -103,27 +105,115 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures_arrow(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
     k: int = 3,
-    threshold: float = 0.8,
-    max_bucket: int = 64,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+    """(doc_id, sig: array<long>) via ONE vectorized Arrow stage.
 
-    Plan shape: sig → explode bands (rows ×bands, but each row is just
-    (doc_id, band hash)) → groupBy bucket w/ size cap → in-bucket pair
-    generation via double posexplode i<j → distinct → exact-Jaccard
-    verify on the shingle sets (join back twice, broadcast-eligible at
-    fixture scale, shuffled at 100 TB where AQE skew-split applies).
+    The 32 universal-hash min-folds as JVM HOF expressions cost ~40 ms
+    of core time per document (BENCH_r01 outlier); here the whole
+    signature — normalize, shingle, base-hash (md5/8-byte, portable and
+    deterministic), (a·x+b) mod P min over a (lanes × shingles) numpy
+    matrix — is one Arrow crossing at ~1 ms/doc. Same normalization as
+    normalize_text(); base hash differs from the expression variant
+    (md5 vs xxhash64), which is irrelevant to LSH behavior.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, num_hashes, k).persist()
+    import hashlib
 
-    banded = sigs.select(
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = dict(zip(docs.schema.names, docs.schema.fields))[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sig array<bigint>"
+    sel = docs.select(id_col, text_col)
+    # Python-stage parallelism floor: a small compressed parquet yields
+    # 1-2 scan splits, serializing the signature stage on a 32-core
+    # box. Repartition ONLY when the scan underfills the cluster — at
+    # 100 TB the scan has thousands of splits and this is a no-op, so
+    # no shuffle is ever added at scale.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    a_vec = np.arange(1, 2 * num_hashes, 2, dtype=np.int64)[:, None]  # odd multipliers
+    b_vec = ((0x9E3779B9 * np.arange(1, num_hashes + 1, dtype=np.int64)) & 0x7FFFFFFF)[:, None]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col)
+            sigs = []
+            for t in batch.column(text_col).to_pylist():
+                ws = (t or "").lower().split()
+                if len(ws) >= k:
+                    sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+                else:
+                    sh = {" ".join(ws)}
+                base = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                x = (base % _P).astype(np.int64)[None, :]
+                sigs.append((a_vec * x + b_vec) % _P if x.size else None)
+            mins = [s.min(axis=1).tolist() if s is not None else [] for s in sigs]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(mins, type=pa.list_(pa.int64()))],
+                names=[id_col, "sig"],
+            )
+
+    return sel.mapInArrow(fn, out_schema)
+
+
+def _banded_pairs(
+    banded: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Candidate pairs from bucket membership rows, scale-safe:
+
+    - buckets with 2..max_bucket members → ALL pairs (self-join on the
+      bucket key, i<j);
+    - buckets with >max_bucket members → STAR pairs (min-doc_id
+      representative × every member): O(n) pairs instead of O(n²), and
+      connectivity to the canonical survivor is preserved — the
+      boilerplate-duplicate buckets where near-dups concentrate are
+      exactly the oversized ones, so dropping them (the r1 behavior)
+      silently lost the recall that matters most.
+
+    Bucket stats come from a window over the bucket key (WindowExec
+    buffers spill to disk — no collect_list of a 10^7-member degenerate
+    bucket ever materializes on one executor heap).
+    """
+    w = Window.partitionBy(*key_cols)
+    ann = (
+        banded.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .filter(F.col("_n") > 1)
+    )
+    small = ann.filter(F.col("_n") <= max_bucket).select(*key_cols, "doc_id")
+    small_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), key_cols)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    big_pairs = (
+        ann.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, bucket) membership rows from signatures."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -138,20 +228,78 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+
+
+def minhash_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Recall-loss observability: per-band bucket census — total
+    buckets, multi-member buckets, oversized (star-paired) buckets, and
+    the largest bucket size."""
+    banded = minhash_band_buckets(
+        minhash_signatures_arrow(docs, text_col, num_hashes, k), num_hashes, bands
     )
-    cand = (
-        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select("i", "id_a", F.posexplode("ids").alias("j", "id_b"))
-        .filter(F.col("i") < F.col("j"))
-        .select("id_a", "id_b")
+    per_bucket = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_multi"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_oversized"),
+        F.max("n").alias("max_size"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape: one Arrow signature stage (or the pure-expression
+    variant with engine='expr') → explode bands (rows ×bands, each row
+    just (doc_id, band hash)) → scale-safe pair generation
+    (_banded_pairs: all-pairs for normal buckets, star pairs for
+    oversized ones) → exact-Jaccard verify. The verify step computes
+    shingle sets ONLY for docs that appear in a candidate pair
+    (left-semi prune): at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus, so the shingle arrays — the
+    widest intermediate — never exist for non-candidates.
+    """
+    if engine == "arrow":
+        sigs = minhash_signatures_arrow(docs, text_col, num_hashes, k)
+    else:
+        sigs = minhash_signatures(docs, text_col, num_hashes, k).select("doc_id", "sig")
+    banded = minhash_band_buckets(sigs, num_hashes, bands)
+    cand = _banded_pairs(banded, ["band", "bucket"], max_bucket)
+
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # the semi-join is broadcast (cand_ids is small), so the shingle
+    # stage would inherit the scan's split count; candidates are a tiny
+    # subset of the corpus at any scale and bucket skew concentrates
+    # them, so an explicit even spread before the expensive shingle
+    # expression is worth its (candidate-sized) shuffle
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .repartition(par, "doc_id")
+        .select("doc_id", shingles(F.col(text_col), k).alias("_sh"))
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -225,7 +373,7 @@ def simhash_pairs(
     bits ⇒ at least one chunk identical — pigeonhole-complete)."""
     sigs = with_simhash(docs.select("doc_id", text_col), text_col).select(
         "doc_id", "sig"
-    ).persist()
+    )
     chunked = sigs.select(
         "doc_id",
         "sig",
@@ -238,23 +386,40 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    buckets = (
-        chunked.groupBy("chunk_idx", "chunk")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    # same scale-safe bucket policy as _banded_pairs (all pairs for
+    # normal buckets, star pairs to the min-doc_id representative for
+    # oversized ones), carrying each member's sig so hamming is computed
+    # in place — no collect_list of a degenerate bucket ever exists
+    w = Window.partitionBy("chunk_idx", "chunk")
+    ann = (
+        chunked.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min(F.struct("doc_id", "sig")).over(w))
+        .filter(F.col("_n") > 1)
     )
-    cand = (
-        buckets.select(F.posexplode("ms").alias("i", "a"), "ms")
-        .select("i", "a", F.posexplode("ms").alias("j", "b"))
-        .filter(F.col("i") < F.col("j"))
+    small = ann.filter(F.col("_n") <= max_bucket).select("chunk_idx", "chunk", "doc_id", "sig")
+    small_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), ["chunk_idx", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
-        .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    big_pairs = (
+        ann.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep.doc_id")))
+        .select(
+            F.col("_rep.doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.bit_count(F.col("_rep.sig").bitwiseXOR(F.col("sig"))).alias("hamming"),
+        )
+    )
+    return (
+        small_pairs.unionByName(big_pairs)
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ------------------------------------------------------- n-gram jaccard

@@ -230,3 +230,53 @@ def test_ivf_topk_runs_on_driver_corpus(spark, sf_dir_mid):
     # nprobe == n_centroids -> exhaustive -> must equal brute force
     brute = [(r.vec_id, r.cos_sim) for r in similarity.brute_topk(e, 0, k=10).collect()]
     assert [(r.vec_id, r.cos_sim) for r in rows] == brute
+
+
+def test_minhash_oversized_bucket_star_pairs(spark):
+    """A duplicate cluster LARGER than max_bucket must still link every
+    copy to the canonical survivor (r1 dropped all pairs in over-cap
+    buckets — exactly where boilerplate dups concentrate)."""
+    text = " ".join(VOCAB[:20])
+    dups = [(i, text) for i in range(80)]
+    noise = [(1000 + i, " ".join(VOCAB[j % len(VOCAB)] for j in range(i, i + 12)))
+             for i in range(20)]
+    d = spark.createDataFrame(dups + noise, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_pairs(d, threshold=0.9, max_bucket=16).collect()}
+    # star topology: every dup copy pairs with representative doc 0
+    for i in range(1, 80):
+        assert (0, i) in pairs, f"copy {i} not linked to keeper"
+
+
+def test_minhash_bucket_stats_surface_oversize(spark):
+    text = " ".join(VOCAB[:20])
+    d = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    stats = dedup.minhash_bucket_stats(d, max_bucket=16).collect()
+    assert all(r.n_oversized >= 1 for r in stats)  # the 40-dup bucket
+    assert all(r.max_size == 40 for r in stats)
+
+
+def test_minhash_expr_engine_matches_arrow_on_planted(spark):
+    """Both signature engines (vectorized Arrow, pure JVM expressions)
+    recover the identical planted dup/near-dup pair set."""
+    d = _mk_docs(spark)
+    arrow = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_pairs(d, threshold=0.5, engine="arrow").collect()}
+    expr = {(r.id_a, r.id_b) for r in
+            dedup.minhash_lsh_pairs(d, threshold=0.5, engine="expr").collect()}
+    planted_core = {(i, 1000 + i) for i in range(10)} | {(i, 2000 + i) for i in range(5)}
+    assert planted_core <= arrow
+    assert planted_core <= expr
+
+
+def test_simhash_oversized_bucket_star_pairs(spark):
+    text = " ".join(VOCAB[:20])
+    d = spark.createDataFrame(
+        [(i, text) for i in range(50)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(d, max_hamming=3, max_bucket=8).collect()}
+    for i in range(1, 50):
+        assert got.get((0, i)) == 0, f"copy {i} not linked to keeper"
