@@ -907,7 +907,9 @@ def q_dedup_simhash(spark, sf):
 def q_embed_neardup(spark, sf):
     from ocr_tool_spark.dataprep.similarity import near_dup_pairs
 
-    return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
+    return near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.5, block_col="label"
+    )
 
 
 @q(

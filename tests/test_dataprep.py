@@ -280,3 +280,69 @@ def test_simhash_oversized_bucket_star_pairs(spark):
            for r in dedup.simhash_pairs(d, max_hamming=3, max_bucket=8).collect()}
     for i in range(1, 50):
         assert got.get((0, i)) == 0, f"copy {i} not linked to keeper"
+
+
+def test_ivf_index_is_built_once_and_persisted(spark, sf_dir_mid, tmp_path):
+    """Build-once/probe-many: ivf_build persists the index; a second
+    build call at the same path is a pure read (marker respected), and
+    repeated probes reuse it without a KMeans fit in the probe path."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    assigned, centroids = similarity.ivf_build(e, path, n_centroids=8)
+    marker = os.path.join(path, "_INDEX_BUILT")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+    assigned2, centroids2 = similarity.ivf_build(e, path, n_centroids=8)
+    assert os.path.getmtime(marker) == mtime  # no rebuild
+    assert centroids2.count() == 8
+    # probe twice through ivf_search directly — same result both times
+    q = e.filter(F.col("vec_id") == 0)
+    r1 = [(r.vec_id, r.cos_sim) for r in
+          similarity.ivf_search(assigned, centroids, q, k=5, nprobe=8).collect()]
+    r2 = [(r.vec_id, r.cos_sim) for r in
+          similarity.ivf_search(assigned2, centroids2, q, k=5, nprobe=8).collect()]
+    assert sorted(r1) == sorted(r2) and len(r1) == 5
+
+
+def test_ivf_search_batch_queries(spark, sf_dir_mid, tmp_path):
+    """One ivf_search call serves a query TABLE: top-k per query row."""
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    assigned, centroids = similarity.ivf_build(
+        e, str(tmp_path / "ivf_b"), n_centroids=8
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_search(assigned, centroids, q, k=3, nprobe=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r.rn)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_near_dup_lsh_blocking_recall_vs_label_blocking(spark):
+    """Default (unlabeled) LSH-bucket blocking must recover ~all the
+    near-dup pairs that ground-truth label blocking finds on clustered
+    vectors — labels don't exist at 100 TB (VERDICT r1 §wrong 3)."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(15, 32))
+    rows, vid = [], 0
+    for c in range(15):
+        for _ in range(8):
+            v = base[c] + rng.normal(scale=0.03, size=32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    truth = {(r.id_a, r.id_b) for r in
+             similarity.near_dup_pairs(e, threshold=0.9, block_col="label").collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           similarity.near_dup_pairs(
+               e, threshold=0.9, dim=32, n_bits=6, n_tables=6
+           ).collect()}
+    assert truth, "ground truth empty — bad fixture"
+    recall = len(truth & lsh) / len(truth)
+    assert recall >= 0.9, f"LSH-blocked near-dup recall {recall}"
+    # precision is exact by construction (cosine verified per pair)
+    for (a, b) in lsh:
+        assert a < b
