@@ -7,22 +7,33 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus informational extras
 (docs/sec for the flagship extraction).
 
-Headline set = the flagship extraction pipeline (text branch over the
-sf documents table; mixed text+media synthetic corpus with OCR) plus
-the shuffle-heavy relational queries — the ones whose plans decide
-100 TB viability (hash agg, sort-merge join, window).
+Headline set = the flagship extraction pipeline (multi-span text branch
+over the sf documents table; 5k-doc heavy mixed text+media corpus with
+per-page OCR; the resumable commit loop end-to-end) plus the
+shuffle-heavy relational queries — the ones whose plans decide 100 TB
+viability (hash agg, sort-merge join, window, LSH dedup, k-NN).
+
+Timing discipline (ADVICE r1): every row is the MIN of two runs —
+single-shot wall times swing ~2x on this shared host, and the first
+run pays JIT/codegen/Arrow warm-up the steady-state cluster never sees.
+The one-line JSON contract is unchanged; per-row raw pairs are in
+"runs" for auditability.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ocr_tool_spark.session import build_session  # noqa: E402
+
+N_RUNS = 2
+MIXED_DOCS = 5000
 
 
 def _run(df):
@@ -43,26 +54,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from ocr_tool_spark import fixtures
+    from scripts.scaling_bench import ensure_corpus
+
     from ocr_tool_spark.plans import driver_queries
     from ocr_tool_spark.plans.pipeline import extract_documents
-    from ocr_tool_spark.sources.tables import (
-        docs_df,
-        interleaved_from_documents,
-        media_df,
-    )
+    from ocr_tool_spark.plans.runner import PipelineRunner
+    from ocr_tool_spark.sources.tables import interleaved_from_documents
 
     q = driver_queries.queries()
 
-    # Mixed corpus built once, outside the timed region (input prep, not
-    # engine work); cached as parquet-in-tmp so the timed run reads it
-    # like a real table scan instead of a parallelized local list.
-    corpus_docs, corpus_media = fixtures.gen_corpus(600, seed=7)
-    tmp = "/tmp/ocr_bench_corpus"
-    docs_df(spark, corpus_docs).write.mode("overwrite").parquet(f"{tmp}/docs")
-    media_df(spark, corpus_media).write.mode("overwrite").parquet(f"{tmp}/media")
-    bdocs = spark.read.parquet(f"{tmp}/docs")
-    bmedia = spark.read.parquet(f"{tmp}/media")
+    # Mixed corpus: 5k HEAVY docs (realistic ~4-10 KB HTML spans, dense
+    # scanned pages — the scaling harness generator), staged once as
+    # parquet so the timed run reads it like a real table scan. 600
+    # light docs (r1) were overhead-dominated and carried no signal.
+    corpus = ensure_corpus(MIXED_DOCS)
+    bdocs = spark.read.parquet(f"{corpus}/docs")
+    bmedia = spark.read.parquet(f"{corpus}/media")
+    n_docs_mixed = bdocs.count()
 
     n_docs_text = interleaved_from_documents(spark, sf_dir).count()
 
@@ -72,45 +80,68 @@ def main() -> None:
     def ext_mixed():
         _run(extract_documents(bdocs, bmedia, salt=8))
 
+    # end-to-end resumable commit loop (stage -> extract -> snapshot
+    # append -> lineage) at the secondary scale, fresh work dir per run
+    pipe_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(pipe_sf):
+        pipe_sf = sf_dir
+    _pipe_seq = [0]
+
+    def pipeline_commit():
+        work = f"/tmp/ocr_bench_pipeline/{_pipe_seq[0]}"
+        _pipe_seq[0] += 1
+        shutil.rmtree(work, ignore_errors=True)
+        runner = PipelineRunner(spark, work, n_partitions=8, batch_partitions=8)
+        runner.run(interleaved_from_documents(spark, pipe_sf))
+
     bench = {
         "ext_text": ext_text,
         "ext_mixed": ext_mixed,
+        "pipeline_commit": pipeline_commit,
         "agg_groupby": lambda: _run(q["q_agg_groupby"](spark, sf_dir)),
         "join_sm": lambda: _run(q["q_join_sm"](spark, sf_dir)),
         "window_rownum": lambda: _run(q["q_window_rownum"](spark, sf_dir)),
         "topk_group": lambda: _run(q["q_topk_group"](spark, sf_dir)),
         "range_join": lambda: _run(q["q_range_join"](spark, sf_dir)),
+        "dedup_minhash": lambda: _run(q["q_dedup_minhash"](spark, sf_dir)),
+        "knn_cosine": lambda: _run(q["q_knn_cosine"](spark, sf_dir)),
+        "text_quality": lambda: _run(q["q_text_quality"](spark, sf_dir)),
+        "tpch_q1": lambda: _run(q["q_tpch_q1"](spark, sf_dir)),
+        "tpch_q5": lambda: _run(q["q_tpch_q5"](spark, sf_dir)),
     }
-    # training-data ops are registered lazily (round >=1 additions)
-    for extra in ("q_dedup_minhash", "q_knn_cosine", "q_text_quality", "q_tpch_q1", "q_tpch_q5"):
-        if extra in q:
-            bench[extra.removeprefix("q_")] = (
-                lambda name=extra: _run(q[name](spark, sf_dir))
-            )
 
     # warm-up: JVM/codegen/Arrow path init on a trivial action
     spark.range(1000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name, fn in bench.items():
-        t0 = time.perf_counter()
-        fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        raw[name] = samples
+        times[name] = min(samples)
 
     total = round(sum(times.values()), 3)
     extras = {}
     if n_docs_text and times["ext_text"] > 0:
         extras["ext_text_docs_per_sec"] = round(n_docs_text / times["ext_text"], 1)
         extras["ext_text_docs"] = n_docs_text
+    if n_docs_mixed and times["ext_mixed"] > 0:
+        extras["ext_mixed_docs_per_sec"] = round(n_docs_mixed / times["ext_mixed"], 1)
+        extras["ext_mixed_docs"] = n_docs_mixed
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (extraction + shuffle-heavy relational)",
+                "metric": "headline-suite wall time (extraction + shuffle-heavy relational), min of 2 runs/query",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
                 "cores": cores,
+                "runs": raw,
                 **extras,
             }
         )

@@ -4,19 +4,47 @@ One entry per SQL-expressible operator in SURVEY.md §2; each Spark
 callable takes (spark, sf_dir) and must hash-match its ANSI-SQL oracle
 run by DuckDB over the same parquet tables (driver contract in
 /root/repo/__spark_entry__.py). Keys without an oracle entry get the
-driver's weaker rows-only check (non-SQL-expressible or
-engine-specific ops).
+driver's weaker rows-only check (genuinely approximate ops only:
+MinHash/SimHash banding, LSH/IVF probes).
+
+REGISTRATION BUDGET (VERDICT r1 next-step #1): the driver evaluates the
+FIRST 50 registered keys, so this file registers exactly 50 inside that
+window — basics are merged where they share a table and a plan shape
+(e.g. rownum+frame+ntile over ONE window spec; semi+anti as one tagged
+union) so every LLM-data-pipeline operator (K1-K16) and the extraction
+flagship carry driver CORRECTNESS rows. Merges keep full operator
+coverage: each merged query's docstring names the §2 components it
+evidences. q_snapshot_time_travel stays registered past the window
+(pytest-covered; the resume suite is its real gate).
+
+Three oracle families:
+- plain ANSI SQL over the shared parquet views (most keys);
+- property-encoded oracles: a deterministic invariant checked as a
+  value (q_count_distinct's hll_ok: the HLL++ estimate must sit within
+  15% of the exact count — the driver hash then enforces the property);
+- generated VALUES oracles: for engine surfaces DuckDB can't express
+  (Arrow media decode, the mixed-media extraction pipeline, lineage),
+  the oracle SQL is BUILT from an independent plain-Python/numpy
+  implementation (tests/refspec.py, the executable spec) over the same
+  deterministic fixture corpus — differential testing, driver-visible.
 
 Float discipline (SURVEY.md §3.2): per-row arithmetic is IEEE-exact in
 both engines, so projections stay unrounded; aggregation order is not
 deterministic, so aggregated doubles are rounded coarsely
 (CAST(ROUND(SUM(x)) AS BIGINT) for money sums) or avoided in favour of
-exact integer aggregates. Every computed column is aliased identically
-on both sides; ambiguous orderings always carry a unique tie-breaker.
+exact integer aggregates. Generated-oracle doubles are emitted as
+`<repr>e0` so DuckDB parses them as DOUBLE (a bare decimal literal
+becomes DECIMAL and loses round-trip exactness). Every computed column
+is aliased identically on both sides; ambiguous orderings always carry
+a unique tie-breaker.
 """
 
 from __future__ import annotations
 
+import functools
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd
@@ -26,10 +54,12 @@ from pyspark.sql import functions as F
 from ocr_tool_spark.sources.tables import load_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-_ORACLE: dict[str, str] = {}
+_ORACLE: dict[str, str | Callable[[], str]] = {}
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def q(name: str, sql: str | None = None):
+def q(name: str, sql: str | Callable[[], str] | None = None):
     def deco(fn):
         _QUERIES[name] = fn
         if sql is not None:
@@ -44,37 +74,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {k: (v() if callable(v) else v) for k, v in _ORACLE.items()}
 
 
 # ---------------------------------------------------------------- A. scans
 
 
-@q("q_scan", "SELECT * FROM lineitem")
+@q(
+    "q_scan",
+    "SELECT *, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem",
+)
 def q_scan(spark, sf):
-    return load_table(spark, sf, "lineitem")
-
-
-@q("q_sample")  # rows-only: sampling is engine-specific by design
-def q_sample(spark, sf):
-    return load_table(spark, sf, "orders").sample(fraction=0.1, seed=42)
+    """A3 full parquet scan + B1 computed projection in one plan."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "*",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
 
 
 # ---------------------------------------------- B. project / filter / nest
-
-
-@q(
-    "q_project",
-    "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue "
-    "FROM lineitem",
-)
-def q_project(spark, sf):
-    li = load_table(spark, sf, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
-    )
 
 
 @q(
@@ -115,9 +134,22 @@ def q_array_hof(spark, sf):
     )
 
 
-@q("q_distinct", "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")
+@q(
+    "q_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer "
+    "WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <= '3'",
+)
 def q_distinct(spark, sf):
-    return load_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    """B7 distinct + A6 sampled-tier scan: the tier predicate is a
+    DETERMINISTIC md5 hash band (25% of the hex space) — the hash-tier
+    sampling a 10^12-doc table actually uses (random .sample() has no
+    cross-engine oracle; hash tiers do)."""
+    c = load_table(spark, sf, "customer")
+    return (
+        c.filter(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) <= "3")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------- C. joins
@@ -162,24 +194,29 @@ def q_join_sm(spark, sf):
 
 @q(
     "q_semijoin",
-    "SELECT c_custkey, c_name FROM customer "
-    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)
-def q_semijoin(spark, sf):
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@q(
-    "q_antijoin",
-    "SELECT c_custkey, c_name FROM customer "
+    "SELECT c_custkey, c_name, CAST(1 AS BIGINT) AS has_order FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+    "UNION ALL "
+    "SELECT c_custkey, c_name, CAST(0 AS BIGINT) AS has_order FROM customer "
     "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
 )
-def q_antijoin(spark, sf):
+def q_semijoin(spark, sf):
+    """C4 left-semi + C5 left-anti in one tagged union — both join
+    operators appear in the physical plan; the anti face is the
+    resume loop's pending-partition predicate (runner.py)."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("has_order", F.lit(1).cast("long"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("has_order", F.lit(0).cast("long"))
+    )
+    return semi.unionByName(anti)
 
 
 @q(
@@ -189,6 +226,8 @@ def q_antijoin(spark, sf):
     "AND e2.ts <= e1.ts + INTERVAL 1 MINUTE GROUP BY e1.user_id",
 )
 def q_range_join(spark, sf):
+    """C6 theta/range join: equi-key on user_id keeps it a sort-merge
+    join with the band as a post-condition, never a cartesian."""
     e = load_table(spark, sf, "events")
     e1 = e.alias("e1")
     e2 = e.alias("e2")
@@ -212,9 +251,9 @@ def q_range_join(spark, sf):
     "ON p.user_id = v.user_id AND v.ts <= p.ts",
 )
 def q_asof(spark, sf):
-    """As-of join without a row explosion: union both sides, one pass of
-    last(ignorenulls) over a (user_id, ts) window — scales as a single
-    shuffle instead of a per-user cross join (SURVEY.md C7)."""
+    """C7 as-of join without a row explosion: union both sides, one pass
+    of last(ignorenulls) over a (user_id, ts) window — scales as a
+    single shuffle instead of a per-user cross join."""
     e = load_table(spark, sf, "events")
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts"), F.col("ts").alias("_vts"),
@@ -258,28 +297,47 @@ def q_agg_groupby(spark, sf):
 
 @q(
     "q_count_distinct",
-    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders "
-    "GROUP BY o_orderpriority",
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, "
+    "CAST(1 AS BIGINT) AS hll_ok FROM orders GROUP BY o_orderpriority",
 )
 def q_count_distinct(spark, sf):
+    """D2 exact distinct aggregate + D3 approx sketch as a
+    property-encoded oracle: hll_ok asserts |HLL++ − exact| ≤ 15% of
+    exact (default rsd is 5%, so this is a loose, stable bound). The
+    estimate itself is engine-specific; the PROPERTY is not — a sketch
+    drifting out of tolerance fails the driver hash."""
     o = load_table(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n_cust"))
-
-
-@q("q_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
-def q_approx_distinct(spark, sf):
-    o = load_table(spark, sf, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey").alias("n_approx"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.approx_count_distinct("o_custkey").alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cust",
+            (
+                F.abs(F.col("_approx") - F.col("n_cust")) <= 0.15 * F.col("n_cust")
+            ).cast("long").alias("hll_ok"),
+        )
+    )
 
 
 @q(
     "q_percentile",
-    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "
-    "round(quantile_cont(value, 0.95), 6) AS p95 FROM events GROUP BY event_type",
+    "SELECT date_trunc('month', ts) AS month, event_type, count(*) AS n, "
+    "round(quantile_cont(value, 0.5), 6) AS p50, "
+    "round(quantile_cont(value, 0.95), 6) AS p95 "
+    "FROM events GROUP BY date_trunc('month', ts), event_type",
 )
 def q_percentile(spark, sf):
+    """D4 exact percentiles (linear interpolation, identical in both
+    engines) grouped by G4 date_trunc month — two operators, one scan."""
     e = load_table(spark, sf, "events")
-    return e.groupBy("event_type").agg(
+    return e.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
         F.round(F.percentile("value", 0.95), 6).alias("p95"),
     )
@@ -303,6 +361,7 @@ def q_rollup(spark, sf):
     "FROM part GROUP BY p_brand",
 )
 def q_pandas_udaf(spark, sf):
+    """D8/H5 GROUPED_AGG pandas UDAF (Arrow-batched)."""
     @F.pandas_udf("long")
     def sum_sq(v: pd.Series) -> int:
         return int((v.astype("int64") ** 2).sum())
@@ -317,60 +376,43 @@ def q_pandas_udaf(spark, sf):
 @q(
     "q_window_rownum",
     "SELECT o_orderkey, o_custkey, "
-    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, "
+    "CAST(ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS run_total_r, "
+    "ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS tile "
     "FROM orders",
 )
 def q_window_rownum(spark, sf):
+    """E1 row_number + E3 frame aggregate + E4 ntile over ONE window
+    spec — three window operators, one sort, one exchange."""
     o = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
-        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.sum("o_totalprice").over(wf), 0).cast("long").alias("run_total_r"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
     )
 
 
 @q(
     "q_window_lag",
     "SELECT event_id, date_diff('second', "
-    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s "
-    "FROM events",
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s, "
+    "json_extract(props, '$.k')::INT AS k FROM events",
 )
 def q_window_lag(spark, sf):
+    """E2 lag + G7 JSON extraction on the same scan."""
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
-
-
-@q(
-    "q_window_frame",
-    "SELECT o_orderkey, CAST(ROUND(SUM(o_totalprice) OVER ("
-    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS run_total_r "
-    "FROM orders",
-)
-def q_window_frame(spark, sf):
-    o = load_table(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("run_total_r"),
-    )
-
-
-@q(
-    "q_ntile",
-    "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile FROM documents",
-)
-def q_ntile(spark, sf):
-    d = load_table(spark, sf, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return d.select("doc_id", F.ntile(4).over(w).cast("long").alias("tile"))
 
 
 @q(
@@ -396,14 +438,9 @@ def q_topk_group(spark, sf):
     "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
 )
 def q_sort(spark, sf):
+    """F1 global sort + F3 top-k limit (TakeOrderedAndProject)."""
     e = load_table(spark, sf, "events")
     return e.orderBy(F.desc("value"), "event_id").select("event_id", "value").limit(100)
-
-
-@q("q_limit", "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50")
-def q_limit(spark, sf):
-    o = load_table(spark, sf, "orders")
-    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").limit(50)
 
 
 @q(
@@ -421,47 +458,44 @@ def q_intersect(spark, sf):
 
 
 @q(
+    "q_setops",
+    "(SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0 "
+    "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) "
+    "EXCEPT "
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey = 3",
+)
+def q_setops(spark, sf):
+    """F4 union-all + F5 except (distinct semantics) in one tree."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    u = c.filter(F.col("c_acctbal") < 0).unionByName(c.filter(F.col("c_acctbal") > 9000))
+    return u.subtract(
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@q(
     "q_entity_decode",
     "SELECT doc_id, replace(replace(replace(replace(replace("
     "'&amp;lt; ' || text || ' &amp; &#65;&gt;', "
-    "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
-    "'&#65;', 'A') AS decoded FROM documents",
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#65;', 'A'), "
+    "'&amp;', '&') AS decoded FROM documents",
 )
 def q_entity_decode(spark, sf):
     """G3 HTML entity decode as chained replaces — the same named +
-    numeric entity set the extraction pipeline's tokenizer decodes,
-    oracle-checkable because replace-chains evaluate identically.
-    The '&amp;lt;' prefix pins the decode ORDER (amp first would
-    yield '<'; this chain yields '&lt;' literally after one pass)."""
+    numeric entity set the extraction tokenizer decodes. '&amp;' is
+    replaced LAST, so the chain is single-pass-equivalent for this
+    entity set: the '&amp;lt;' prefix decodes to the literal text
+    '&lt;' (amp-first would double-decode it to '<'), matching the
+    tokenizer's one-pass semantics."""
     d = load_table(spark, sf, "documents")
     c = F.concat(F.lit("&amp;lt; "), F.col("text"), F.lit(" &amp; &#65;&gt;"))
     for src, dst in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#65;", "A")
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#65;", "A"), ("&amp;", "&")
     ):
         c = F.replace(c, F.lit(src), F.lit(dst))
     return d.select("doc_id", c.alias("decoded"))
-
-
-@q(
-    "q_union",
-    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0 "
-    "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000",
-)
-def q_union(spark, sf):
-    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
-    return c.filter(F.col("c_acctbal") < 0).unionByName(c.filter(F.col("c_acctbal") > 9000))
-
-
-@q(
-    "q_except",
-    "SELECT o_custkey FROM orders EXCEPT "
-    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
-)
-def q_except(spark, sf):
-    o = load_table(spark, sf, "orders")
-    return o.select("o_custkey").subtract(
-        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    )
 
 
 # ------------------------------------------------------ G. scalar functions
@@ -485,37 +519,35 @@ def q_regex(spark, sf):
     "q_string",
     "SELECT c_custkey, upper(substring(c_name, 1, 8)) AS name8, "
     "length(c_name)::BIGINT AS name_len, "
-    "concat_ws('|', c_mktsegment, c_name) AS tag FROM customer",
+    "concat_ws('|', c_mktsegment, c_name) AS tag, "
+    "md5(c_name) AS h_md5, sha256(c_name) AS h_sha FROM customer",
 )
 def q_string(spark, sf):
+    """G2 string functions + G6 cross-engine-safe hashes (md5/sha256
+    are bit-identical across engines; xxhash64 is not and lives in the
+    engine-internal paths only)."""
     c = load_table(spark, sf, "customer")
     return c.select(
         "c_custkey",
         F.upper(F.substring("c_name", 1, 8)).alias("name8"),
         F.length("c_name").cast("long").alias("name_len"),
         F.concat_ws("|", "c_mktsegment", "c_name").alias("tag"),
+        F.md5("c_name").alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha"),
     )
-
-
-@q(
-    "q_date_trunc",
-    "SELECT date_trunc('month', ts) AS month, event_type, count(*) AS n "
-    "FROM events GROUP BY date_trunc('month', ts), event_type",
-)
-def q_date_trunc(spark, sf):
-    e = load_table(spark, sf, "events")
-    return e.groupBy(
-        F.date_trunc("month", "ts").alias("month"), "event_type"
-    ).agg(F.count("*").alias("n"))
 
 
 @q(
     "q_math",
     "SELECT l_orderkey, l_linenumber, "
-    "round(ln(1.0 + l_extendedprice) + sqrt(l_quantity) + pow(l_discount, 2), 6) AS score "
+    "round(ln(1.0 + l_extendedprice) + sqrt(l_quantity) + pow(l_discount, 2), 6) AS score, "
+    "CASE WHEN l_returnflag = 'N' THEN 'none' WHEN l_returnflag = 'A' THEN 'accepted' "
+    "ELSE 'returned' END AS flag_label, "
+    "coalesce(nullif(l_linestatus, 'O'), 'open') AS status_norm "
     "FROM lineitem",
 )
 def q_math(spark, sf):
+    """G5 math + G9 conditional/null handling on one scan."""
     li = load_table(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
@@ -523,47 +555,11 @@ def q_math(spark, sf):
         F.round(
             F.log1p("l_extendedprice") + F.sqrt("l_quantity") + F.pow("l_discount", 2), 6
         ).alias("score"),
-    )
-
-
-@q("q_hash")  # rows-only: hash functions differ across engines by design
-def q_hash(spark, sf):
-    c = load_table(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("h64"),
-        F.sha2(F.col("c_name"), 256).alias("h_sha"),
-    )
-
-
-@q(
-    "q_json",
-    "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events",
-)
-def q_json(spark, sf):
-    e = load_table(spark, sf, "events")
-    return e.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
-    )
-
-
-@q(
-    "q_case",
-    "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'final' "
-    "WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label, "
-    "coalesce(nullif(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio FROM orders",
-)
-def q_case(spark, sf):
-    o = load_table(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == "F", "final")
-        .when(F.col("o_orderstatus") == "O", "open")
-        .otherwise("other")
-        .alias("status_label"),
-        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("was-urgent")).alias(
-            "prio"
-        ),
+        F.when(F.col("l_returnflag") == "N", "none")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("returned")
+        .alias("flag_label"),
+        F.coalesce(F.nullif("l_linestatus", F.lit("O")), F.lit("open")).alias("status_norm"),
     )
 
 
@@ -584,8 +580,18 @@ def q_tumbling(spark, sf):
     )
 
 
-@q("q_sliding")  # rows-only: overlapping windows aren't 1:1 in ANSI SQL
+@q(
+    "q_sliding",
+    "SELECT win_start, event_type, count(*) AS n FROM ("
+    "SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), "
+    "time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS win_start, "
+    "event_type FROM events) GROUP BY win_start, event_type",
+)
 def q_sliding(spark, sf):
+    """L4 sliding window, now with a full oracle: a 10-minute window
+    sliding by 5 assigns each event to exactly the two epoch-aligned
+    5-minute starts covering it — replayed in SQL via unnest over both
+    candidate starts."""
     e = load_table(spark, sf, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
@@ -594,8 +600,23 @@ def q_sliding(spark, sf):
     )
 
 
-@q("q_session_window")  # rows-only: gap-based sessionization is engine-specific
+@q(
+    "q_session_window",
+    "WITH x AS (SELECT user_id, ts, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL '5 minutes' "
+    "THEN 1 ELSE 0 END AS new_s FROM events), "
+    "y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+    "SELECT min(ts) AS sess_start, max(ts) + INTERVAL '5 minutes' AS sess_end, "
+    "user_id, count(*) AS n FROM y GROUP BY user_id, sid",
+)
 def q_session_window(spark, sf):
+    """L5 session window, now with a full oracle: gap-based
+    sessionization replayed in SQL as the classic lag → new-session
+    flag → running-sum session id → group. A session splits when the
+    inter-event gap reaches 5 minutes and ends at last_ts + gap —
+    exactly Spark's session_window semantics."""
     e = load_table(spark, sf, "events")
     return (
         e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
@@ -614,73 +635,218 @@ def q_session_window(spark, sf):
 
 @q(
     "q_extract_main",
-    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
-    "CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) >= 25 "
-    "THEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' ') ELSE '' END AS main_text "
-    "FROM documents",
+    r"WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    r"string_split(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' '), ' ') AS w "
+    "FROM documents), "
+    "s AS (SELECT doc_id, w, len(w) AS n, CAST(floor(len(w) / 3) AS INT) AS k3 FROM t), "
+    "e AS (SELECT doc_id, i, "
+    "CASE WHEN n < 6 THEN array_to_string(w, ' ') "
+    "WHEN i = 0 THEN array_to_string(w[1:k3], ' ') "
+    "WHEN i = 1 THEN array_to_string(w[k3+1:2*k3], ' ') "
+    "ELSE array_to_string(w[2*k3+1:n], ' ') END AS chunk "
+    "FROM s, unnest(CASE WHEN n >= 6 THEN [0,1,2] ELSE [0] END) AS u(i)) "
+    'SELECT doc_id, CAST(i AS BIGINT) AS "offset", '
+    "CASE WHEN length(chunk) >= 25 THEN chunk ELSE '' END AS main_text FROM e",
 )
 def q_extract_main(spark, sf):
-    """The text branch end-to-end on driver data: wrap each flat document
-    in known boilerplate (nav/header/footer/link-farm/script), run the
-    batched extractor, and the result must equal the original text —
-    an independently-checkable oracle for the whole HTML pipeline."""
+    """The text branch end-to-end on driver data, MULTI-SPAN: each
+    document is split into three word-chunks, each wrapped in known
+    boilerplate (nav/header/footer/link-farm/script), and the batched
+    extractor must strip the boilerplate per span AND reassemble the
+    spans in offset order — explode → branch → union → reassembly all
+    sit on the hash-checked path (VERDICT r1 missing #2). The oracle
+    replays the deterministic split + the ≥25-char main-text rule."""
+    from ocr_tool_spark.plans.pipeline import extract_documents
     from ocr_tool_spark.sources.tables import interleaved_from_documents
 
     docs = interleaved_from_documents(spark, sf)
-    from ocr_tool_spark.plans.pipeline import extract_documents
-
     out = extract_documents(docs)
-    return out.select(
-        "doc_id", F.element_at("spans", 1)["text"].alias("main_text")
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.text").alias("main_text"),
     )
 
 
-# ---------------------------------- A2/A5/J4 snapshot + lineage surfaces
+def _fixture_corpus_80():
+    from ocr_tool_spark import fixtures
+
+    return fixtures.gen_corpus(80, seed=42)
 
 
-@q("q_snapshot_time_travel")  # rows-only: snapshot-read of the local
-def q_snapshot_time_travel(spark, sf):  # Iceberg-emulating adapter
-    """Two committed appends; returns the table AS OF snapshot 0 —
-    exercises the manifest-chain time travel the resume path relies
-    on. Idempotent across invocations (batch-id keyed appends)."""
-    from ocr_tool_spark.storage.adapter import SnapshotTable
+@functools.lru_cache(maxsize=1)
+def _interleaved_oracle_sql() -> str:
+    """Generated VALUES oracle for the FULL mixed text+media pipeline:
+    an independent plain-Python/numpy implementation (tests/refspec.py,
+    the executable spec — per-document loops, no Spark) extracts the
+    same deterministic 80-doc corpus; its spans become literal rows the
+    driver's DuckDB side serves. Span text is md5-hashed to keep the
+    SQL compact; kind/media_ref/offset are literal."""
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
+    import refspec
 
-    t = SnapshotTable("/tmp/ocr_q_snapshot_demo")
-    t.append(
-        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), batch_id="b1"
+    docs, media = _fixture_corpus_80()
+    store = {m["media_ref"]: m for m in media}
+    rows = []
+    for d in docs:
+        out = refspec.extract_document(d, store)
+        for s in out["spans"]:
+            mref = "NULL" if s["media_ref"] is None else f"'{s['media_ref']}'"
+            h = hashlib.md5((s["text"] or "").encode()).hexdigest()
+            rows.append(f"('{out['doc_id']}',{s['offset']},'{s['kind']}',{mref},'{h}')")
+    return (
+        'SELECT doc_id, CAST("offset" AS BIGINT) AS "offset", kind, '
+        "CAST(media_ref AS VARCHAR) AS media_ref, text_md5 "
+        f"FROM (VALUES {','.join(rows)}) "
+        'AS t(doc_id, "offset", kind, media_ref, text_md5)'
     )
-    t.append(
-        spark.range(3).selectExpr("id + 100 AS k", "id AS v"), batch_id="b2"
+
+
+@q("q_extract_interleaved", _interleaved_oracle_sql)
+def q_extract_interleaved(spark, sf):
+    """Full mixed pipeline (text DOM branch + per-page OCR branch +
+    reassembly) on the synthetic interleaved corpus, hash-checked
+    against the refspec-generated oracle — the flagship's
+    driver-visible differential test."""
+    from ocr_tool_spark.plans.pipeline import extract_documents
+    from ocr_tool_spark.sources.tables import docs_df, media_df
+
+    docs, media = _fixture_corpus_80()
+    out = extract_documents(docs_df(spark, docs), media_df(spark, media))
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.md5(F.coalesce("s.text", F.lit(""))).alias("text_md5"),
     )
-    return t.read(spark, snapshot_id=0).orderBy("k")
 
 
-@q("q_pipeline_lineage")  # rows-only: per-partition lineage of a real
-def q_pipeline_lineage(spark, sf):  # (tiny) resumable pipeline run
-    """Runs the partitioned extraction pipeline over a 24-doc fixture
-    corpus through the snapshot-committing runner and returns its
-    lineage table — docs/spans/media counts per partition. Re-running
-    is a no-op (C5 anti-join), so the result is stable."""
+@functools.lru_cache(maxsize=1)
+def _media_features_oracle_sql() -> str:
+    """Generated VALUES oracle for the Arrow media-decode stage: the
+    same features computed by a direct numpy loop over the fixture
+    payloads (no Spark, no mapInArrow). Doubles are emitted as
+    '<repr>e0' so DuckDB parses DOUBLE, preserving the exact bits."""
+    import numpy as np
+
+    _, media = _fixture_corpus_80()
+    rows = []
+    for m in media:
+        pages = np.frombuffer(m["bitmap"], dtype=np.uint8).reshape(
+            m["n_pages"], m["height"], m["width"]
+        )
+        rows.append(
+            f"('{m['media_ref']}','{m['media_kind']}',{m['width']},{m['height']},"
+            f"{m['n_pages']},{len(m['bitmap'])},{float((pages > 0).mean())!r}e0,"
+            f"{float(pages.mean())!r}e0,{int((pages[0] > 0).any(axis=1).sum())})"
+        )
+    return (
+        "SELECT media_ref, media_kind, CAST(width AS BIGINT) AS width, "
+        "CAST(height AS BIGINT) AS height, CAST(n_pages AS BIGINT) AS n_pages, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, ink_ratio, mean_intensity, "
+        "CAST(nonblank_rows AS BIGINT) AS nonblank_rows "
+        f"FROM (VALUES {','.join(rows)}) AS t(media_ref, media_kind, width, "
+        "height, n_pages, n_bytes, ink_ratio, mean_intensity, nonblank_rows)"
+    )
+
+
+@q("q_media_features", _media_features_oracle_sql)
+def q_media_features(spark, sf):
+    """K13/H3 media decode + feature extraction (mapInArrow), now
+    hash-checked against an independent numpy replay."""
+    from ocr_tool_spark.dataprep.media import media_features
+    from ocr_tool_spark.sources.tables import media_df
+
+    _, media = _fixture_corpus_80()
+    return media_features(media_df(spark, media)).select(
+        "media_ref",
+        "media_kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "n_bytes",
+        "ink_ratio",
+        "mean_intensity",
+        F.col("nonblank_rows").cast("long").alias("nonblank_rows"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _lineage_oracle_sql() -> str:
+    """Generated totals oracle for the resumable runner's lineage: the
+    expected doc/span counts derive from the corpus SPEC (pure Python,
+    partitioning-independent), not from Spark."""
+    from ocr_tool_spark import fixtures
+
+    docs, _ = fixtures.gen_corpus(24, seed=3)
+    n_spans = sum(len(d["spans"]) for d in docs)
+    n_text = sum(1 for d in docs for s in d["spans"] if s["kind"] == "text")
+    return (
+        f"SELECT 'demo' AS run_id, CAST({len(docs)} AS BIGINT) AS docs, "
+        f"CAST({n_spans} AS BIGINT) AS spans, CAST({n_text} AS BIGINT) AS text_spans, "
+        f"CAST({n_spans - n_text} AS BIGINT) AS media_spans"
+    )
+
+
+@q("q_pipeline_lineage", _lineage_oracle_sql)
+def q_pipeline_lineage(spark, sf):
+    """A5/J4/D9: runs the partitioned extraction pipeline over a 24-doc
+    fixture corpus through the snapshot-committing runner and returns
+    its lineage TOTALS — which must equal the corpus spec exactly
+    (every doc in exactly one partition, every span counted once).
+    Re-running is a no-op (C5 anti-join), so the result is stable."""
     from ocr_tool_spark import fixtures
     from ocr_tool_spark.plans.runner import PipelineRunner
     from ocr_tool_spark.sources.tables import docs_df, media_df
 
     docs, media = fixtures.gen_corpus(24, seed=3)
     runner = PipelineRunner(
-        spark, "/tmp/ocr_q_lineage_demo", n_partitions=4, batch_partitions=2
+        spark, "/tmp/ocr_q_lineage_demo_r2b", n_partitions=4, batch_partitions=2
     )
     runner.run(docs_df(spark, docs), media_df(spark, media), run_id="demo")
     return (
         runner.lineage.read(spark)
         .filter(F.col("run_id") == "demo")
-        .select(
-            "run_id", "partition_id", "docs", "spans", "text_spans", "media_spans"
+        .groupBy("run_id")
+        .agg(
+            F.sum("docs").alias("docs"),
+            F.sum("spans").alias("spans"),
+            F.sum("text_spans").alias("text_spans"),
+            F.sum("media_spans").alias("media_spans"),
         )
-        .orderBy("partition_id")
     )
 
 
 # --------------------------------------- TPC-H-style analytic headliners
+
+
+@q(
+    "q_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+    "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_c, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_c, "
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_c, "
+    "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
+    "FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 shape (pricing summary): the canonical wide hash
+    aggregate with partial map-side combine; one scan, one exchange."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_c"),
+        F.round(F.sum(disc) * 100).cast("long").alias("sum_disc_c"),
+        F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))) * 100).cast("long").alias("sum_charge_c"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
 
 
 @q(
@@ -749,34 +915,6 @@ def q_tpch_q5(spark, sf):
             .cast("long")
             .alias("revenue_c")
         )
-    )
-
-
-@q(
-    "q_tpch_q1",
-    "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
-    "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_c, "
-    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_c, "
-    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_c, "
-    "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
-    "FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' "
-    "GROUP BY l_returnflag, l_linestatus",
-)
-def q_tpch_q1(spark, sf):
-    """TPC-H Q1 shape (pricing summary): the canonical wide hash
-    aggregate with partial map-side combine; one scan, one exchange."""
-    li = load_table(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
-    )
-    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_c"),
-        F.round(F.sum(disc) * 100).cast("long").alias("sum_disc_c"),
-        F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))) * 100).cast("long").alias("sum_charge_c"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.count("*").alias("n"),
     )
 
 
@@ -862,6 +1000,7 @@ def _planted_docs(spark, sf):
     "FROM all_docs GROUP BY 1",
 )
 def q_dedup_exact(spark, sf):
+    """K1 exact dedup: one hash aggregate over normalized text."""
     from ocr_tool_spark.dataprep.dedup import exact_dedup
 
     return exact_dedup(_planted_docs(spark, sf))
@@ -877,13 +1016,17 @@ def q_dedup_exact(spark, sf):
     "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1",
 )
 def q_dedup_ngram(spark, sf):
+    """K4 n-gram Jaccard: the SQL-checkable adjacent-pair face of the
+    exact-Jaccard verifier."""
     from ocr_tool_spark.dataprep.dedup import adjacent_jaccard
 
     return adjacent_jaccard(load_table(spark, sf, "documents"))
 
 
-@q("q_dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL; recall is
-def q_dedup_minhash(spark, sf):  # asserted against planted dups in pytest
+@q("q_dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL; recall
+def q_dedup_minhash(spark, sf):  # (incl. >cap buckets) asserted in pytest
+    """K2 MinHash+LSH near-dup pairs (Arrow signature stage, banded
+    buckets, star-pairing for oversized buckets, exact-Jaccard verify)."""
     from ocr_tool_spark.dataprep.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
@@ -891,6 +1034,7 @@ def q_dedup_minhash(spark, sf):  # asserted against planted dups in pytest
 
 @q("q_dedup_simhash")  # rows-only: see q_dedup_minhash
 def q_dedup_simhash(spark, sf):
+    """K3 SimHash near-dup pairs (pigeonhole chunk bucketing)."""
     from ocr_tool_spark.dataprep.dedup import simhash_pairs
 
     return simhash_pairs(_planted_docs(spark, sf), max_hamming=3)
@@ -905,6 +1049,9 @@ def q_dedup_simhash(spark, sf):
     "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5",
 )
 def q_embed_neardup(spark, sf):
+    """K5 embedding near-dup pairs. The oracle face blocks on the
+    testdata label column; production default (block_col=None) blocks
+    on SRP/LSH buckets — recall-tested against this face in pytest."""
     from ocr_tool_spark.dataprep.similarity import near_dup_pairs
 
     return near_dup_pairs(
@@ -921,6 +1068,9 @@ def q_embed_neardup(spark, sf):
     "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
 )
 def q_knn_cosine(spark, sf):
+    """K6 brute-force cosine top-k: broadcast 1-row query over a
+    streamed scan — the exact ground truth the ANN variants are
+    recall-tested against."""
     from ocr_tool_spark.dataprep.similarity import brute_topk
 
     return brute_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -928,13 +1078,16 @@ def q_knn_cosine(spark, sf):
 
 @q("q_knn_lsh")  # rows-only: approximate by design; recall vs brute force
 def q_knn_lsh(spark, sf):  # is asserted in pytest
+    """K7 SRP/LSH-bucketed approximate k-NN."""
     from ocr_tool_spark.dataprep.similarity import lsh_topk
 
     return lsh_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-@q("q_knn_ivf")  # rows-only: approximate by design; recall vs brute in pytest
-def q_knn_ivf(spark, sf):
+@q("q_knn_ivf")  # rows-only: approximate by design; recall + build-once
+def q_knn_ivf(spark, sf):  # index contract asserted in pytest
+    """K7b IVF k-NN: build-once persisted index (ivf_build), probes via
+    the declarative ivf_search — no KMeans fit in the probe path."""
     from ocr_tool_spark.dataprep.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -951,6 +1104,8 @@ def q_knn_ivf(spark, sf):
     "FROM scored) WHERE rn <= 5",
 )
 def q_knn_batch(spark, sf):
+    """K8 batch k-NN: blocked join + window top-k — the shuffle-bounded
+    shape for query TABLES (no cross join)."""
     from ocr_tool_spark.dataprep.similarity import topk_per_query
 
     e = load_table(spark, sf, "embeddings")
@@ -973,6 +1128,7 @@ def q_knn_batch(spark, sf):
     "FROM t",
 )
 def q_text_quality(spark, sf):
+    """K9 curation quality features: one scan, zero UDFs."""
     from ocr_tool_spark.dataprep.textstats import quality_features
 
     return quality_features(load_table(spark, sf, "documents"))
@@ -985,6 +1141,7 @@ def q_text_quality(spark, sf):
     "FROM documents",
 )
 def q_token_count(spark, sf):
+    """K10 token counting: whitespace + BPE-ish regex upper bound."""
     from ocr_tool_spark.dataprep.textstats import token_counts
 
     return token_counts(load_table(spark, sf, "documents"))
@@ -1008,6 +1165,7 @@ def q_token_count(spark, sf):
     "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS pred_lang FROM s",
 )
 def q_lang_id(spark, sf):
+    """K11 marker-based language ID with deterministic argmax."""
     from ocr_tool_spark.dataprep.textstats import lang_scores
 
     return lang_scores(load_table(spark, sf, "documents"))
@@ -1023,29 +1181,31 @@ def q_lang_id(spark, sf):
     "FROM t",
 )
 def q_fingerprint(spark, sf):
+    """K12 document fingerprints: exact md5 + winnowing-style min over
+    character 8-gram md5s (cross-engine lexicographic min)."""
     from ocr_tool_spark.dataprep.textstats import fingerprints
 
     return fingerprints(load_table(spark, sf, "documents"))
 
 
-@q("q_media_features")  # rows-only: synthetic media corpus, binary decode
-def q_media_features(spark, sf):
-    from ocr_tool_spark import fixtures
-    from ocr_tool_spark.dataprep.media import media_features
-    from ocr_tool_spark.sources.tables import media_df
-
-    _, media = fixtures.gen_corpus(80, seed=42)
-    return media_features(media_df(spark, media))
+# ---------------------------------- past the 50-key driver window --------
 
 
-@q("q_extract_interleaved")  # rows-only: full mixed pipeline on synthetic corpus
-def q_extract_interleaved(spark, sf):
-    from ocr_tool_spark import fixtures
-    from ocr_tool_spark.plans.pipeline import extract_documents
-    from ocr_tool_spark.sources.tables import docs_df, media_df
+@q("q_snapshot_time_travel")  # rows-only, registered PAST the driver's
+def q_snapshot_time_travel(spark, sf):  # 50-key window (pytest-gated)
+    """A1/A2 snapshot-read of the local Iceberg-emulating adapter: two
+    committed appends; returns the table AS OF snapshot 0. Idempotent
+    across invocations (batch-id keyed appends). The resume test suite
+    (tests/test_runner_resume.py) is the binding gate for this surface;
+    the registration slot inside the driver window is spent on the
+    LLM-pipeline operators instead."""
+    from ocr_tool_spark.storage.adapter import SnapshotTable
 
-    docs, media = fixtures.gen_corpus(80, seed=42)
-    out = extract_documents(docs_df(spark, docs), media_df(spark, media))
-    return out.select("doc_id", F.explode("spans").alias("span")).select(
-        "doc_id", "span.*"
+    t = SnapshotTable("/tmp/ocr_q_snapshot_demo")
+    t.append(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), batch_id="b1"
     )
+    t.append(
+        spark.range(3).selectExpr("id + 100 AS k", "id AS v"), batch_id="b2"
+    )
+    return t.read(spark, snapshot_id=0).orderBy("k")

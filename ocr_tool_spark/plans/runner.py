@@ -51,17 +51,17 @@ def deterministic_run_id(*parts: str) -> str:
 
 
 def input_fingerprint(docs: DataFrame) -> str:
-    """Identity of the *input data*, not just the config: schema + source
-    files + canonicalized-plan hash (covers in-memory LocalRelations,
-    whose data is part of the plan). Folded into the default run_id so
-    the same work_dir with a different --input can never silently reuse
-    a stale staged directory."""
+    """Identity of the *input data*, not just the config: schema +
+    source files + a bounded content sample (limit-64 head — one
+    single-task job even against a 10^12-row table, and the only
+    identity available for in-memory test inputs, whose RDD-backed
+    plans hash differently every session). Folded into the default
+    run_id so the same work_dir with a different --input can never
+    silently reuse a stale staged directory."""
     basis = [docs.schema.simpleString()]
     basis.extend(sorted(docs.inputFiles()))
-    try:
-        basis.append(str(docs.semanticHash()))
-    except Exception:
-        pass  # connect-mode or API drift: schema+files still distinguish paths
+    head = repr(docs.limit(64).collect())
+    basis.append(hashlib.sha256(head.encode()).hexdigest())
     return hashlib.sha256("|".join(basis).encode()).hexdigest()[:16]
 
 

@@ -35,21 +35,39 @@ _BOILER_SUFFIX = (
 
 def interleaved_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the driver's flat documents table into the interleaved
-    (doc_id, spans) shape (BASELINE.json:15), embedding each text in
-    known boilerplate so extraction has a SQL-expressible oracle."""
+    (doc_id, spans) shape (BASELINE.json:15) with MULTIPLE text spans
+    per document: the (whitespace-normalized) text splits into three
+    word-chunks at deterministic boundaries (k = n_words div 3), each
+    wrapped in known boilerplate. The driver-checked extraction oracle
+    therefore exercises explode → branch → union → reassembly ORDERING,
+    not a 1-span identity (VERDICT r1 missing #2). Docs under 6 words
+    stay single-span."""
     from pyspark.sql import functions as F
 
     raw = load_table(spark, sf_dir, "documents")
-    html = F.concat(F.lit(_BOILER_PREFIX), F.col("text"), F.lit(_BOILER_SUFFIX))
-    span = F.struct(
-        F.lit("text").alias("kind"),
-        html.alias("text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit(0).cast("int").alias("offset"),
-    )
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    w = F.split(norm, " ")
+    n = F.size(w)
+    k = F.floor(n / 3).cast("int")
+
+    def span(chunk, off: int):
+        html = F.concat(F.lit(_BOILER_PREFIX), chunk, F.lit(_BOILER_SUFFIX))
+        return F.struct(
+            F.lit("text").alias("kind"),
+            html.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    c1 = F.concat_ws(" ", F.slice(w, F.lit(1), k))
+    c2 = F.concat_ws(" ", F.slice(w, k + 1, k))
+    c3 = F.concat_ws(" ", F.slice(w, 2 * k + 1, n - 2 * k))
+    spans = F.when(
+        n >= 6, F.array(span(c1, 0), span(c2, 1), span(c3, 2))
+    ).otherwise(F.array(span(norm, 0)))
     return raw.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(span).alias("spans"),
+        spans.alias("spans"),
     )
 
 
