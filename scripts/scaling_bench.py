@@ -110,7 +110,7 @@ def _parallel_utilization(event_dir: str, cores: int, windows: list) -> list:
     return utils
 
 
-def worker(corpus: str, cores: int, salt: int) -> None:
+def worker(corpus: str, cores: int, salt: int, runs: int = 4) -> None:
     """Measure one core count; prints a single JSON line."""
     import tempfile
 
@@ -136,7 +136,7 @@ def worker(corpus: str, cores: int, salt: int) -> None:
     n = docs.count()
     times = []
     windows = []
-    for _ in range(4):
+    for _ in range(runs):
         w0 = int(time.time() * 1000)
         t0 = time.perf_counter()
         # noop sink materializes EVERY column — a bare .count() would let
@@ -145,9 +145,9 @@ def worker(corpus: str, cores: int, salt: int) -> None:
         out.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
         windows.append((w0, int(time.time() * 1000)))
-    # min over 3 warm runs: the host is shared and noisy (2x swings
+    # min over the warm runs: the host is shared and noisy (2x swings
     # observed); best-case is the least-interfered sample
-    best = min(times[1:])
+    best = min(times[1:]) if len(times) > 1 else times[0]
     spark.stop()
     utils = _parallel_utilization(event_dir, cores, windows)
     print(
@@ -194,27 +194,53 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--cores", default="2,8,32", help="comma list of core counts")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="interleaved sampling rounds: >1 cycles through the "
+                    "core counts repeatedly (fresh JVM each visit, 2 runs: "
+                    "warm + measured) so every config samples the same host-"
+                    "noise windows; per-config best across rounds is reported")
     ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--worker-runs", type=int, default=4, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.worker_cores:
-        worker(args.corpus, args.worker_cores, args.salt)
+        worker(args.corpus, args.worker_cores, args.salt, args.worker_runs)
         return
 
     core_counts = [int(c) for c in args.cores.split(",")]
     corpus = ensure_corpus(args.docs)
-    results = {}
-    for cores in core_counts:
+
+    def run_worker(cores: int, runs: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker-cores", str(cores),
-             "--corpus", corpus, "--salt", str(args.salt)],
+             "--corpus", corpus, "--salt", str(args.salt),
+             "--worker-runs", str(runs)],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
         print(line)
+        return json.loads(line)
+
+    results = {}
+    if args.rounds <= 1:
+        for cores in core_counts:
+            results[cores] = run_worker(cores, 4)
+    else:
+        # interleaved sampling: visit every core count in each round so a
+        # slow host window hits ALL configs of a pair, not just one —
+        # the per-config best across rounds approximates each config's
+        # quiet-window throughput with equal sampling opportunity
+        samples: dict[int, list[dict]] = {c: [] for c in core_counts}
+        for rnd in range(args.rounds):
+            for cores in core_counts:
+                samples[cores].append(run_worker(cores, 2))
+        for cores in core_counts:
+            best = max(samples[cores], key=lambda r: r["docs_per_sec"])
+            best = dict(best)
+            best["round_docs_per_sec"] = [r["docs_per_sec"] for r in samples[cores]]
+            results[cores] = best
 
     hw = calibrate(core_counts)
 
@@ -236,6 +262,10 @@ def main() -> None:
             for c in core_counts
         },
         "hw_calibration_Mops": {str(c): round(hw[c], 1) for c in core_counts},
+        "rounds": args.rounds,
+        "round_docs_per_sec": {
+            str(c): results[c].get("round_docs_per_sec") for c in core_counts
+        },
         "pairs": {},
         "gate": ">= 0.8",
     }
@@ -260,11 +290,23 @@ def main() -> None:
     ]
     for c in core_counts:
         util = max(results[c].get("parallel_utilization") or [0])
+        rounds_note = ""
+        if results[c].get("round_docs_per_sec"):
+            rounds_note = " (rounds: " + ", ".join(
+                str(v) for v in results[c]["round_docs_per_sec"]) + ")"
         lines.append(
             f"| local[{c}], shuffle={2*c} | {results[c]['sec']} | "
-            f"{results[c]['docs_per_sec']} | {util} | {hw[c]:.0f} |"
+            f"{results[c]['docs_per_sec']}{rounds_note} | {util} | {hw[c]:.0f} |"
         )
     lines.append("")
+    if args.rounds > 1:
+        lines.append(
+            f"Sampling: {args.rounds} interleaved rounds (every core count "
+            "visited in each round, fresh JVM per visit, warm+measured runs); "
+            "each config's best round is reported so a slow host window — the "
+            "dominant noise on this shared machine, observed swinging single "
+            "configs +/-30% — hits all configs of a pair with equal "
+            "probability instead of silently biasing one side.\n")
     lines.append("| N -> 4N pair | pipeline efficiency | pure-CPU hardware ceiling | pipeline / ceiling | gate >= 0.8 |")
     lines.append("|---|---|---|---|---|")
     for lo, hi in pairs:
