@@ -118,14 +118,22 @@ def minhash_signatures_arrow(
     of core time per document (BENCH_r01 outlier); here the whole
     signature — normalize, shingle, base-hash (md5/8-byte, portable and
     deterministic), (a·x+b) mod P min over a (lanes × shingles) numpy
-    matrix — is one Arrow crossing at ~1 ms/doc. Same normalization as
-    normalize_text(); base hash differs from the expression variant
-    (md5 vs xxhash64), which is irrelevant to LSH behavior.
+    matrix — is one Arrow crossing at ~1 ms/doc. Tokenization matches
+    normalize_text()'s Java `\\s+` exactly: the split class is the
+    ASCII whitespace set (Python str.split() would ALSO split Unicode
+    whitespace like NBSP, diverging from the expr engine and the
+    exact-Jaccard verify on real web text). Base hash differs from the
+    expression variant (md5 vs xxhash64), which is irrelevant to LSH
+    behavior.
     """
     import hashlib
+    import re
 
     import numpy as np
     import pyarrow as pa
+
+    # Java \s == [ \t\n\x0B\f\r] (ASCII only, unlike Python str.split)
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
 
     id_type = dict(zip(docs.schema.names, docs.schema.fields))[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, sig array<bigint>"
@@ -146,7 +154,7 @@ def minhash_signatures_arrow(
             ids = batch.column(id_col)
             sigs = []
             for t in batch.column(text_col).to_pylist():
-                ws = (t or "").lower().split()
+                ws = [w for w in java_ws.split((t or "").lower()) if w]
                 if len(ws) >= k:
                     sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
                 else:

@@ -165,6 +165,11 @@ def ivf_build(
 
     spark = embeddings.sparkSession
     marker = os.path.join(path, "_INDEX_BUILT")
+    params = f"{n_centroids}|{seed}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() != params:
+                os.remove(marker)  # same path, different quantizer: rebuild
     if not os.path.exists(marker):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -186,7 +191,7 @@ def ivf_build(
             cent_rows, "cell int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         with open(marker, "w") as f:
-            f.write(f"{n_centroids}|{seed}")
+            f.write(params)
     return (
         spark.read.parquet(os.path.join(path, "assigned")),
         spark.read.parquet(os.path.join(path, "centroids")),
@@ -201,12 +206,18 @@ def ivf_search(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe the IVF index for each query row — fully declarative, no
     driver-side vector pull: probe-cell selection is a broadcast
     centroid join + top-nprobe window, candidate scan is a semi-join on
     _cell (partition-pruned against ivf_build's layout), scoring is a
-    broadcast query join. Output: (qid, vec_id, cos_sim, rn<=k)."""
+    broadcast query join. Output: (qid, vec_id, cos_sim, rn<=k).
+
+    exclude_self drops corpus rows whose id equals the query id — right
+    when queries come FROM the corpus. Pass False for an external query
+    table whose id space is unrelated to corpus ids (an id collision
+    would otherwise silently drop a legitimate neighbor)."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
     )
@@ -228,9 +239,11 @@ def ivf_search(
         .select("qid", "_qv", F.col("cell").alias("_cell"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), id_col)
+    cand = assigned.join(F.broadcast(cells), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("qid"))
     return (
-        assigned.join(F.broadcast(cells), "_cell")
-        .filter(F.col(id_col) != F.col("qid"))
+        cand
         .select(
             "qid",
             id_col,
@@ -239,9 +252,6 @@ def ivf_search(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
-
-
-_IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
 def ivf_topk(
@@ -256,24 +266,33 @@ def ivf_topk(
     index_path: str | None = None,
 ) -> DataFrame:
     """Single-probe face of the IVF index (back-compat signature).
-    The index is built at most once per (input, n_centroids, seed) —
-    process-cached AND persisted, so every subsequent probe is just
-    ivf_search (no KMeans fit in the probe path)."""
+    The index is built at most once per (input identity, n_centroids,
+    seed): the default path hashes the source schema + file list +
+    file sizes/mtimes, so regenerating the data in place gets a fresh
+    index, and ivf_build's marker makes every later call a pure read —
+    no KMeans fit in the probe path, no session-bound caching (the
+    returned frames always belong to the CURRENT session)."""
     import hashlib
+    import os
 
-    basis = [vec_col, str(n_centroids), str(seed), embeddings.schema.simpleString()]
-    basis.extend(sorted(embeddings.inputFiles()))
-    try:
-        basis.append(str(embeddings.semanticHash()))
-    except Exception:
-        pass
-    key = hashlib.sha256("|".join(basis).encode()).hexdigest()[:16]
-    path = index_path or f"/tmp/ocr_ivf_index/{key}"
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = ivf_build(
-            embeddings, path, n_centroids, id_col, vec_col, seed
-        )
-    assigned, centroids = _IVF_CACHE[key]
+    if index_path is None:
+        basis = [vec_col, str(n_centroids), str(seed), embeddings.schema.simpleString()]
+        files = sorted(embeddings.inputFiles())
+        for f in files:
+            basis.append(f)
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                st = os.stat(local)
+                basis.append(f"{st.st_size}:{st.st_mtime_ns}")
+        if not files:
+            # in-memory input (tests): no file identity — use a bounded
+            # content sample, same discipline as runner.input_fingerprint
+            basis.append(repr(embeddings.limit(64).collect()))
+        key = hashlib.sha256("|".join(basis).encode()).hexdigest()[:16]
+        index_path = f"/tmp/ocr_ivf_index/{key}"
+    assigned, centroids = ivf_build(
+        embeddings, index_path, n_centroids, id_col, vec_col, seed
+    )
     queries = embeddings.filter(F.col(id_col) == query_vec_id)
     return (
         ivf_search(assigned, centroids, queries, k, nprobe, id_col, vec_col)

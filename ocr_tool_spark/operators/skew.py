@@ -41,10 +41,18 @@ def salted_join(
     replicated `salt` times, so for right/full joins every unmatched
     build row would surface `salt` times in the output.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    # accept every Spark alias for the probe-preserving types
+    probe_preserving = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in probe_preserving:
         raise ValueError(
-            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
-            "build-side replication would duplicate unmatched build rows"
+            f"salted_join supports inner/left/left_semi/left_anti (any Spark "
+            f"alias spelling), not {how!r}: build-side replication would "
+            "duplicate unmatched build rows"
         )
     if salt_source is None:
         salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))

@@ -74,7 +74,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: (v() if callable(v) else v) for k, v in _ORACLE.items()}
+    """Resolve the oracle map. Generated oracles (callables) need the
+    repo checkout (tests/refspec.py + fixtures); in a spark-submit
+    --py-files deployment where tests/ isn't packaged they degrade to
+    absent entries (driver records rows-only) instead of breaking the
+    whole map."""
+    out: dict[str, str] = {}
+    for k, v in _ORACLE.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception as exc:  # zip deploy: refspec unavailable
+                import warnings
+
+                warnings.warn(f"oracle for {k} unavailable ({exc}); rows-only")
+        else:
+            out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------- A. scans

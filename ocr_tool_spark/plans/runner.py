@@ -52,14 +52,22 @@ def deterministic_run_id(*parts: str) -> str:
 
 def input_fingerprint(docs: DataFrame) -> str:
     """Identity of the *input data*, not just the config: schema +
-    source files + a bounded content sample (limit-64 head — one
-    single-task job even against a 10^12-row table, and the only
-    identity available for in-memory test inputs, whose RDD-backed
-    plans hash differently every session). Folded into the default
-    run_id so the same work_dir with a different --input can never
-    silently reuse a stale staged directory."""
+    source files (with size/mtime where locally visible) + a bounded
+    content sample (limit-64 head — one single-task job even against a
+    10^12-row table, and the only identity available for in-memory
+    test inputs, whose RDD-backed plans hash differently every
+    session). Folded into the default run_id so the same work_dir with
+    a different --input cannot silently reuse a stale staged
+    directory. Bound: two in-memory inputs agreeing on schema AND the
+    first 64 rows collide — file-backed inputs (the production path)
+    are fully distinguished by the file list + stat identity."""
     basis = [docs.schema.simpleString()]
-    basis.extend(sorted(docs.inputFiles()))
+    for f in sorted(docs.inputFiles()):
+        basis.append(f)
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            st = os.stat(local)
+            basis.append(f"{st.st_size}:{st.st_mtime_ns}")
     head = repr(docs.limit(64).collect())
     basis.append(hashlib.sha256(head.encode()).hexdigest())
     return hashlib.sha256("|".join(basis).encode()).hexdigest()[:16]
@@ -107,14 +115,14 @@ class PipelineRunner:
     def _stage_dir(self, run_id: str) -> str:
         return os.path.join(self.work_dir, f"stage-{run_id}")
 
-    def stage_input(self, docs: DataFrame, run_id: str) -> str:
+    def stage_input(self, docs: DataFrame, run_id: str, fp: str | None = None) -> str:
         """Write the hash-partitioned input once; reuse on resume.
         The _STAGED marker records the input fingerprint — resuming the
         same run_id with a *different* input fails loudly instead of
         silently skipping all partitions via the lineage anti-join."""
         stage = self._stage_dir(run_id)
         done = os.path.join(stage, "_STAGED")
-        fp = input_fingerprint(docs)
+        fp = fp or input_fingerprint(docs)
         if os.path.exists(done):
             with open(done) as f:
                 staged_fp = f.read().strip()
@@ -147,10 +155,11 @@ class PipelineRunner:
     ) -> str:
         """Process all pending partitions; returns run_id.
         ``max_batches`` lets tests simulate a kill mid-run."""
+        fp = input_fingerprint(docs)
         run_id = run_id or deterministic_run_id(
-            input_fingerprint(docs), str(self.n_partitions), str(self.salt), self.work_dir
+            fp, str(self.n_partitions), str(self.salt), self.work_dir
         )
-        stage = self.stage_input(docs, run_id)
+        stage = self.stage_input(docs, run_id, fp=fp)
         pending = sorted(set(range(self.n_partitions)) - self.committed_partitions(run_id))
         batches = [
             pending[i : i + self.batch_partitions]

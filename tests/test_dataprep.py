@@ -346,3 +346,29 @@ def test_near_dup_lsh_blocking_recall_vs_label_blocking(spark):
     # precision is exact by construction (cosine verified per pair)
     for (a, b) in lsh:
         assert a < b
+
+
+def test_ivf_build_rebuilds_on_param_change(spark, sf_dir_mid, tmp_path):
+    """Same index path + different quantizer params must rebuild, not
+    silently serve the stale index (code-review r2)."""
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    path = str(tmp_path / "ivf_params")
+    _, c8 = similarity.ivf_build(e, path, n_centroids=8)
+    assert c8.count() == 8
+    _, c16 = similarity.ivf_build(e, path, n_centroids=16)
+    assert c16.count() == 16
+
+
+def test_ivf_search_keeps_id_collisions_for_external_queries(spark, sf_dir_mid, tmp_path):
+    """exclude_self=False: an external query whose qid collides with a
+    corpus vec_id must still see that corpus vector as a candidate."""
+    e = spark.read.parquet(f"{sf_dir_mid}/embeddings.parquet")
+    assigned, centroids = similarity.ivf_build(
+        e, str(tmp_path / "ivf_ext"), n_centroids=4
+    )
+    q = e.filter(F.col("vec_id") == 7)  # external table reusing id 7
+    got = similarity.ivf_search(
+        assigned, centroids, q, k=1, nprobe=4, exclude_self=False
+    ).collect()
+    # the identical vector is its own nearest neighbor at cos 1.0
+    assert got[0].vec_id == 7 and got[0].cos_sim == 1.0

@@ -100,3 +100,12 @@ def test_salted_join_rejects_build_preserving_how(spark, sf_dir):
     for how in ("right", "full", "full_outer"):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(o, c, on="o_custkey", how=how)
+
+
+def test_salted_join_accepts_spark_alias_spellings(spark, sf_dir):
+    from ocr_tool_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").limit(200)
+    c = load_table(spark, sf_dir, "customer")
+    for how in ("semi", "leftsemi", "left_semi", "anti", "leftouter"):
+        assert salted_join(o, c, on="o_custkey", how=how).count() >= 0
