@@ -372,3 +372,26 @@ def test_ivf_search_keeps_id_collisions_for_external_queries(spark, sf_dir_mid, 
     ).collect()
     # the identical vector is its own nearest neighbor at cos 1.0
     assert got[0].vec_id == 7 and got[0].cos_sim == 1.0
+
+
+def test_banded_pairs_invariants(spark):
+    """_banded_pairs structural invariants on a synthetic membership
+    frame mixing normal and oversized buckets: (1) id_a < id_b always;
+    (2) a bucket at/below cap yields ALL its pairs; (3) an oversized
+    bucket yields exactly star pairs to its min member — every member
+    connected, no quadratic blowup."""
+    rows = []
+    # bucket A (band 0, bucket 100): 4 members -> all 6 pairs
+    for d in [3, 1, 7, 5]:
+        rows.append((d, 0, 100))
+    # bucket B (band 1, bucket 200): 10 members, cap 4 -> 9 star pairs
+    for d in range(20, 30):
+        rows.append((d, 1, 200))
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup._banded_pairs(banded, ["band", "bucket"], max_bucket=4).collect()}
+    assert all(a < b for a, b in pairs)
+    a_pairs = {p for p in pairs if p[0] < 20}
+    assert a_pairs == {(1, 3), (1, 5), (1, 7), (3, 5), (3, 7), (5, 7)}
+    b_pairs = {p for p in pairs if p[0] >= 20}
+    assert b_pairs == {(20, d) for d in range(21, 30)}

@@ -106,6 +106,11 @@ def test_salted_join_accepts_spark_alias_spellings(spark, sf_dir):
     from ocr_tool_spark.sources.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").limit(200)
-    c = load_table(spark, sf_dir, "customer")
-    for how in ("semi", "leftsemi", "left_semi", "anti", "leftouter"):
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    n_semi = salted_join(o, c, on="o_custkey", how="semi").count()
+    n_anti = salted_join(o, c, on="o_custkey", how="anti").count()
+    assert n_semi + n_anti == 200  # partition of the probe rows
+    for how in ("leftsemi", "left_semi", "leftouter"):
         assert salted_join(o, c, on="o_custkey", how=how).count() >= 0
