@@ -4,11 +4,13 @@ as Arrow-batched stages (SURVEY.md H3).
 
 The raster format here (header-described uint8 pages, FIXTURES.md §1.2)
 is genuinely decoded with numpy — decode, ink features, and thumbnail
-resize are real, tested implementations. Codec-dependent modalities
-(JPEG/PNG, audio PCM, video containers) have no libraries in this
-sandbox, so their decode step is a clearly-marked stub behind the same
-Arrow plumbing: the schema, batching, and partition behavior are real
-and tested; only the byte-level codec raises NotImplementedError.
+resize are real, tested implementations. Audio is genuinely decoded
+too for RIFF/WAVE PCM (a pure header parse + numpy frombuffer — no
+codec library needed). Compressed modalities (JPEG/PNG, MP3/AAC,
+video containers) have no libraries in this sandbox, so those decode
+paths are a clearly-marked NotImplementedError boundary behind the
+same Arrow plumbing: schema, batching, and partition behavior are real
+and tested either way.
 
 Scale notes: media work is one mapInArrow stage = one Arrow crossing
 per batch; batches are row-capped (session config
@@ -158,34 +160,96 @@ def frame_sample(media_store: DataFrame, stride: int = 2) -> DataFrame:
     return media_store.mapInArrow(fn, FRAME_SAMPLE_SCHEMA)
 
 
-# ---------------------------------------------------------------- stubs
+# ------------------------------------------------------------------ audio
 
 AUDIO_FEATURES_SCHEMA = "media_ref string, sample_rate int, n_samples long, rms double"
+_AUDIO_PA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("rms", pa.float64()),
+    ]
+)
 
 
-def decode_audio(payload: bytes) -> np.ndarray:
-    """STUB: PCM/compressed audio decode. No audio codec library exists
-    in this environment (SURVEY.md §0.2); on a real deployment swap in
-    soundfile/ffmpeg here — the Arrow plumbing around it is unchanged."""
-    raise NotImplementedError(
-        "audio codec unavailable in sandbox; see dataprep/media.py docstring"
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Serialize mono int16 samples as a canonical RIFF/WAVE PCM file
+    (the inverse of decode_audio; used by fixtures and tests)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(data)
+
+    def u32(x: int) -> bytes:
+        return int(x).to_bytes(4, "little")
+
+    def u16(x: int) -> bytes:
+        return int(x).to_bytes(2, "little")
+
+    fmt = (
+        b"fmt " + u32(16) + u16(1) + u16(1) + u32(sample_rate)
+        + u32(sample_rate * 2) + u16(2) + u16(16)
     )
+    return b"RIFF" + u32(4 + len(fmt) + 8 + n) + b"WAVE" + fmt + b"data" + u32(n) + data
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode for RIFF/WAVE PCM (8/16/32-bit int, any channel
+    count — returned channel-interleaved): a pure header parse + numpy
+    frombuffer, no codec library needed. Compressed formats (MP3/AAC/
+    Opus) genuinely require external codecs, which this sandbox lacks
+    (SURVEY.md §0.2) — those raise NotImplementedError with the format
+    tag; on a real deployment route them through soundfile/ffmpeg. The
+    Arrow plumbing around this function is identical either way.
+
+    Returns (samples: np.ndarray, sample_rate: int)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; compressed codecs unavailable in sandbox"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:  # 1 = PCM; 3 = float, 0x55 = mp3, ...
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} needs an external codec (PCM only here)"
+        )
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    return np.frombuffer(data, dtype=dtype), sample_rate
 
 
 def audio_features(media_store: DataFrame, payload_col: str = "bitmap") -> DataFrame:
-    """Audio feature extraction pipeline shape: real Arrow batching and
-    schema; decode_audio is the stubbed codec step."""
+    """Audio feature extraction (K16): real RIFF/PCM decode + RMS over
+    one Arrow stage, same batching/partition behavior as the image
+    stages."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
             out = {k: [] for k in ("media_ref", "sample_rate", "n_samples", "rms")}
             for ref, payload in zip(d["media_ref"], d[payload_col]):
-                wave = decode_audio(payload)  # raises in sandbox
+                samples, rate = decode_audio(payload)
                 out["media_ref"].append(ref)
-                out["sample_rate"].append(16000)
-                out["n_samples"].append(int(wave.size))
-                out["rms"].append(float(np.sqrt((wave.astype(np.float64) ** 2).mean())))
-            yield pa.RecordBatch.from_pydict(out)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(int(samples.size))
+                out["rms"].append(
+                    float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                    if samples.size
+                    else 0.0
+                )
+            yield pa.RecordBatch.from_pydict(out, schema=_AUDIO_PA)
 
     return media_store.mapInArrow(fn, AUDIO_FEATURES_SCHEMA)

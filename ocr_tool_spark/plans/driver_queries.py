@@ -1207,6 +1207,67 @@ def q_fingerprint(spark, sf):
 # ---------------------------------- past the 50-key driver window --------
 
 
+def _audio_corpus():
+    import numpy as np
+
+    from ocr_tool_spark.dataprep.media import encode_wav_pcm16
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i, rate in enumerate((8000, 16000, 22050, 44100)):
+        t = np.arange(rate // 4)
+        wave16 = (
+            9000 * np.sin(2 * np.pi * 330 * (i + 1) * t / rate)
+            + rng.normal(scale=400, size=t.size)
+        ).astype(np.int16)
+        rows.append(
+            {
+                "media_ref": f"wav:{i:05d}", "media_kind": "audio",
+                "width": 0, "height": 0, "n_pages": 0,
+                "bitmap": encode_wav_pcm16(wave16, rate),
+            }
+        )
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _audio_oracle_sql() -> str:
+    """Generated VALUES oracle for K16: decode + RMS replayed directly
+    in numpy over the same deterministic WAV payloads."""
+    import numpy as np
+
+    from ocr_tool_spark.dataprep.media import decode_audio
+
+    rows = []
+    for m in _audio_corpus():
+        samples, rate = decode_audio(m["bitmap"])
+        rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+        rows.append(f"('{m['media_ref']}',{rate},{samples.size},{rms!r}e0)")
+    return (
+        "SELECT media_ref, CAST(sample_rate AS BIGINT) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, rms "
+        f"FROM (VALUES {','.join(rows)}) AS t(media_ref, sample_rate, n_samples, rms)"
+    )
+
+
+@q("q_audio_features", _audio_oracle_sql)  # registered past the driver's
+def q_audio_features(spark, sf):  # 50-key window; locally oracle-gated
+    """K16 audio features: real RIFF/PCM WAV decode + RMS in one Arrow
+    stage, checked against a direct numpy replay. Sits past the
+    50-key driver window (the in-window slots are spent on the
+    higher-traffic operators); tests/test_driver_queries.py runs the
+    identical hash comparison locally."""
+    from ocr_tool_spark.dataprep.media import audio_features
+    from ocr_tool_spark.sources.tables import media_df
+
+    return audio_features(media_df(spark, _audio_corpus())).select(
+        "media_ref",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "rms",
+    )
+
+
 @q("q_snapshot_time_travel")  # rows-only, registered PAST the driver's
 def q_snapshot_time_travel(spark, sf):  # 50-key window (pytest-gated)
     """A1/A2 snapshot-read of the local Iceberg-emulating adapter: two

@@ -160,21 +160,52 @@ def test_frame_sample_strides_pages(spark):
         assert len(frame) == w * h
 
 
-def test_audio_decode_is_stubbed(spark):
-    from ocr_tool_spark import fixtures
+def test_audio_wav_roundtrip_and_features(spark):
+    """K16 audio decode is REAL for RIFF/PCM: encode→decode round-trips
+    bit-exactly, and the Spark audio_features stage matches a direct
+    numpy computation on deterministic synthesized waveforms."""
     from ocr_tool_spark.sources.tables import media_df
 
+    rng = np.random.default_rng(9)
+    rows, expected = [], {}
+    for i, rate in enumerate((8000, 16000, 44100)):
+        t = np.arange(rate // 2)  # half a second
+        wave16 = (
+            10000 * np.sin(2 * np.pi * 440 * (i + 1) * t / rate)
+            + rng.normal(scale=500, size=t.size)
+        ).astype(np.int16)
+        payload = media.encode_wav_pcm16(wave16, rate)
+        got, got_rate = media.decode_audio(payload)
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, wave16)
+        rows.append({
+            "media_ref": f"wav:{i}", "media_kind": "audio",
+            "width": 0, "height": 0, "n_pages": 0, "bitmap": payload,
+        })
+        expected[f"wav:{i}"] = (
+            rate, wave16.size,
+            float(np.sqrt((wave16.astype(np.float64) ** 2).mean())),
+        )
+    out = {r.media_ref: r for r in
+           media.audio_features(media_df(spark, rows)).collect()}
+    for ref, (rate, n, rms) in expected.items():
+        r = out[ref]
+        assert (r.sample_rate, r.n_samples) == (rate, n)
+        assert abs(r.rms - rms) < 1e-9
+
+
+def test_audio_compressed_formats_still_raise(spark):
+    """Non-PCM payloads (compressed codecs) keep the declared
+    NotImplementedError boundary — the sandbox has no codec library."""
     with pytest.raises(NotImplementedError):
-        media.decode_audio(b"\x00\x01")
-    # the Spark plumbing around the stub is real: the plan builds and
-    # fails only at execution time inside the UDF
-    _, media_rows = fixtures.gen_corpus(3, seed=5)
-    df = media.audio_features(media_df(spark, media_rows))
-    assert [f.name for f in df.schema.fields] == [
-        "media_ref", "sample_rate", "n_samples", "rms"
-    ]
-    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
-        df.collect()
+        media.decode_audio(b"\x00\x01")  # not RIFF at all
+    import struct
+    # a RIFF/WAVE container whose format tag is MP3 (0x55), not PCM
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 0x55, 1, 16000, 32000, 2, 16)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt \
+        + b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="external codec"):
+        media.decode_audio(payload)
 
 
 def test_fingerprint_stability_under_whitespace(spark):
