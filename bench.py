@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_tool_spark.session import build_session  # noqa: E402
 
 N_RUNS = 2
-MIXED_DOCS = 5000
+# 20k heavy docs: large enough that ext_mixed runs near steady-state
+# throughput (fixed session overhead + OCR tail amortized) while
+# keeping the suite under a driver-friendly minute
+MIXED_DOCS = 20000
 
 
 def _run(df):
