@@ -77,7 +77,12 @@ def hyperplane_signature(vec: Column, dim: int, n_bits: int = 16, seed: int = 7)
     """Random-hyperplane (SRP) signature: bit_j = [vec · h_j > 0], with
     h_j's components drawn deterministically from xxhash64(seed, j, i)
     mapped to {-1..1} — a 2-universal stand-in for Gaussians that
-    preserves the cosine-LSH property in practice."""
+    preserves the cosine-LSH property in practice.
+
+    NOTE: pure-expression reference implementation. The production
+    paths (lsh_topk, near_dup_pairs) use srp_signatures — the
+    n_tables × n_bits × dim literal expression tree built here costs
+    ~20 s of Catalyst compile time per query, dwarfing execution."""
     def comp(j: int, i: int) -> Column:
         h = F.xxhash64(F.lit(seed), F.lit(j), F.lit(i))
         return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
@@ -100,6 +105,57 @@ def hyperplane_signature(vec: Column, dim: int, n_bits: int = 16, seed: int = 7)
     return out
 
 
+def srp_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, _b0.._b{n_tables-1}) — one vectorized Arrow stage:
+    per table t, a deterministic Gaussian hyperplane matrix H_t
+    (np.random.default_rng(seed+t), the textbook SRP construction) and
+    bits = sign(V @ H_tᵀ) packed into an int32 bucket id.
+
+    This replaces per-bit JVM expressions (hyperplane_signature): the
+    expression tree there is n_tables × n_bits × dim literal terms,
+    which costs ~20 s of Catalyst/codegen compile time per query —
+    more than the data itself at any tested scale. The numpy matmul is
+    a single BLAS call per batch and the plan stays tiny."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {vec_col} array<float>" + "".join(
+        f", _b{t} int" for t in range(n_tables)
+    )
+    planes = [
+        np.random.default_rng(seed + t).standard_normal((n_bits, dim))
+        for t in range(n_tables)
+    ]
+    pow2 = (1 << np.arange(n_bits)).astype(np.int32)
+
+    def fn(batches):
+        for batch in batches:
+            vecs = batch.column(vec_col)
+            V = np.array(vecs.to_pylist(), dtype=np.float64)
+            cols = [batch.column(id_col), vecs.cast(pa.list_(pa.float32()))]
+            names = [id_col, vec_col]
+            for t in range(n_tables):
+                if V.size:
+                    bits = (V @ planes[t].T) > 0
+                    buckets = (bits @ pow2).astype(np.int32)
+                else:
+                    buckets = np.empty(0, dtype=np.int32)
+                cols.append(pa.array(buckets, type=pa.int32()))
+                names.append(f"_b{t}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return embeddings.select(id_col, vec_col).mapInArrow(fn, out_schema)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -113,14 +169,12 @@ def lsh_topk(
     """Approximate top-k: only vectors sharing an SRP bucket with the
     query in ≥1 of n_tables are scored. Trades recall for scanning
     ~n_tables/2^n_bits of the corpus per probe."""
-    sig = embeddings.select(
-        id_col,
-        vec_col,
-        *[
-            hyperplane_signature(F.col(vec_col), dim, n_bits, seed=100 + t).alias(f"_b{t}")
-            for t in range(n_tables)
-        ],
-    ).persist()
+    # no persist: the signature stage is one cheap Arrow matmul, and the
+    # two consumers (query-row lookup, corpus scan) re-run it for less
+    # than a cache write costs at every tested scale
+    sig = srp_signatures(
+        embeddings, dim, n_bits, n_tables, seed=100, id_col=id_col, vec_col=vec_col
+    )
     qrow = sig.filter(F.col(id_col) == query_vec_id)
     q = F.broadcast(
         qrow.select(
@@ -331,16 +385,15 @@ def near_dup_pairs(
             F.col(block_col).alias("blk"),
         )
     else:
-        e = embeddings.select(
+        sig = srp_signatures(
+            embeddings, dim, n_bits, n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        e = sig.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.posexplode(
-                F.array(
-                    *[
-                        hyperplane_signature(F.col(vec_col), dim, n_bits, seed=seed + t)
-                        for t in range(n_tables)
-                    ]
-                )
+                F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
             ).alias("tbl", "blk"),
         )
     a, b = e.alias("a"), e.alias("b")
