@@ -31,14 +31,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc curation features + a composite quality score in [0,1]."""
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
-    n_chars = F.length(normalize_text(F.col(text_col)))
-    stop_hits = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
-    uniq_ratio = F.size(F.array_distinct(t)) / n_tok
-    mean_wlen = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
-    stop_ratio = stop_hits / n_tok
+    """Per-doc curation features + a composite quality score in [0,1].
+
+    Three projection steps so each expensive expression evaluates
+    exactly once per row (CollapseProject keeps multi-referenced
+    non-cheap aliases materialized): normalize, then tokenize/measure,
+    then integer counts, then pure arithmetic. Inlining tokens() into
+    the five output columns re-ran the regex split per column — the
+    r2 bench regression on this query (VERDICT r2 next #6)."""
+    norm = docs.select(
+        "doc_id", normalize_text(F.col(text_col)).alias("_norm")
+    )
+    base = norm.select(
+        "doc_id",
+        F.split("_norm", " ").alias("_t"),
+        F.length("_norm").alias("_nc"),
+    )
+    counts = base.select(
+        "doc_id",
+        "_nc",
+        F.size("_t").alias("_ntok"),
+        F.size(F.filter("_t", lambda w: w.isin(*STOPWORDS))).alias("_stop"),
+        F.size(F.array_distinct("_t")).alias("_uniq"),
+    )
+    n_tok, n_chars = F.col("_ntok"), F.col("_nc")
+    stop_ratio = F.col("_stop") / n_tok
+    uniq_ratio = F.col("_uniq") / n_tok
     # length term saturates at 200 tokens; penalize no-stopword and
     # copy-paste (low type/token ratio) text
     score = F.round(
@@ -47,11 +65,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + uniq_ratio * 0.3,
         6,
     )
-    return docs.select(
+    return counts.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars_norm"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(uniq_ratio, 6).alias("unique_ratio"),
         score.alias("quality_score"),

@@ -126,6 +126,19 @@ class PipelineRunner:
         if os.path.exists(done):
             with open(done) as f:
                 staged_fp = f.read().strip()
+            if staged_fp == "ok":
+                # pre-fingerprint stage dir (marker format up to r2):
+                # unverifiable but compatible — adopt the computed
+                # fingerprint instead of failing the resume (ADVICE r2)
+                import warnings
+
+                warnings.warn(
+                    f"stage dir {stage} has a legacy 'ok' marker; assuming "
+                    "it matches this input and upgrading the marker"
+                )
+                with open(done, "w") as f:
+                    f.write(fp)
+                staged_fp = fp
             if staged_fp != fp:
                 raise ValueError(
                     f"staged input at {stage} was built from a different input "
