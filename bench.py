@@ -121,6 +121,11 @@ def main() -> None:
     for name, fn in bench.items():
         samples = []
         for _ in range(N_RUNS):
+            # drop persisted intermediates (LSH candidate/shingle
+            # frames): Spark's plan-keyed CacheManager would otherwise
+            # serve run 2 from run 1's cache and the min-of-2 would
+            # measure a cache read, not the query
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn()
             samples.append(round(time.perf_counter() - t0, 3))

@@ -115,18 +115,30 @@ def minhash_signatures_arrow(
     """(doc_id, sig: array<long>) via ONE vectorized Arrow stage.
 
     The 32 universal-hash min-folds as JVM HOF expressions cost ~40 ms
-    of core time per document (BENCH_r01 outlier); here the whole
-    signature — normalize, shingle, base-hash (md5/8-byte, portable and
-    deterministic), (a·x+b) mod P min over a (lanes × shingles) numpy
-    matrix — is one Arrow crossing at ~1 ms/doc. Tokenization matches
-    normalize_text()'s Java `\\s+` exactly: the split class is the
-    ASCII whitespace set (Python str.split() would ALSO split Unicode
-    whitespace like NBSP, diverging from the expr engine and the
-    exact-Jaccard verify on real web text). Base hash differs from the
-    expression variant (md5 vs xxhash64), which is irrelevant to LSH
-    behavior.
+    of core time per document (BENCH_r01 outlier); the r2 Arrow stage
+    cut that to ~1 ms/doc but still ran hashlib.md5 once per shingle
+    in a Python loop — the suite's remaining hot spot (VERDICT r2 next
+    #4). Now the base hash is fully vectorized numpy:
+
+    1. all token bytes in the batch are concatenated once; per-token
+       64-bit hashes come from a rolling polynomial over the buffer
+       (prefix sums of byte·p^i, re-based per token by multiplying
+       with p^-start — p is odd, hence invertible mod 2^64), finished
+       with a splitmix64 mix;
+    2. shingle hashes combine k consecutive token hashes with fixed
+       odd multipliers via array slicing (no shingle strings are ever
+       built), deduped with np.unique;
+    3. the (a·x+b) mod P min-fold over a (lanes × shingles) matrix is
+       unchanged.
+
+    Tokenization matches normalize_text()'s Java `\\s+` exactly: the
+    split class is the ASCII whitespace set (Python str.split() would
+    ALSO split Unicode whitespace like NBSP, diverging from the expr
+    engine and the exact-Jaccard verify on real web text). The base
+    hash differs from the expression variant (polynomial vs xxhash64)
+    and from r2 (md5) — engine-internal and irrelevant to LSH behavior;
+    both deterministic across runs/partitionings (J5).
     """
-    import hashlib
     import re
 
     import numpy as np
@@ -149,27 +161,70 @@ def minhash_signatures_arrow(
     a_vec = np.arange(1, 2 * num_hashes, 2, dtype=np.int64)[:, None]  # odd multipliers
     b_vec = ((0x9E3779B9 * np.arange(1, num_hashes + 1, dtype=np.int64)) & 0x7FFFFFFF)[:, None]
 
+    U64 = np.uint64
+    POLY_P = U64(0x100000001B3)  # FNV-1a prime (odd => invertible mod 2^64)
+    POLY_PINV = U64(pow(0x100000001B3, -1, 1 << 64))
+
+    def mix64(z: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer, vectorized
+        z = z + U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+        return z ^ (z >> U64(31))
+
+    # per-position shingle-combination multipliers (odd, well-mixed)
+    comb = mix64(np.arange(1, k + 1, dtype=np.uint64) * U64(0xD6E8FEB86659FD93)) | U64(1)
+
+    def token_hashes(tok_lists: list[list[str]]) -> np.ndarray:
+        """One flat uint64 hash per token across the whole batch."""
+        enc = [w.encode("utf-8") for ws in tok_lists for w in ws]
+        if not enc:
+            return np.empty(0, dtype=np.uint64)
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        # +1 keeps NUL bytes from hashing like absent bytes
+        arr = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64) + U64(1)
+        L = arr.size
+        ppow = np.full(L, POLY_P, dtype=np.uint64)
+        ppow[0] = 1
+        np.cumprod(ppow, out=ppow)  # p^0 .. p^{L-1}, wrapping
+        pinv = np.full(L, POLY_PINV, dtype=np.uint64)
+        pinv[0] = 1
+        np.cumprod(pinv, out=pinv)
+        prefix = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(arr * ppow, out=prefix[1:])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        raw = (prefix[ends] - prefix[starts]) * pinv[starts]
+        return mix64(raw ^ (lens.astype(np.uint64) * U64(0x9E3779B97F4A7C15)))
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(id_col)
-            sigs = []
-            for t in batch.column(text_col).to_pylist():
-                ws = [w for w in java_ws.split((t or "").lower()) if w]
-                if len(ws) >= k:
-                    sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
-                else:
-                    sh = {" ".join(ws)}
-                base = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                        for s in sh
-                    ),
-                    dtype=np.uint64,
-                    count=len(sh),
-                )
-                x = (base % _P).astype(np.int64)[None, :]
-                sigs.append((a_vec * x + b_vec) % _P if x.size else None)
-            mins = [s.min(axis=1).tolist() if s is not None else [] for s in sigs]
+            tok_lists = [
+                [w for w in java_ws.split((t or "").lower()) if w]
+                for t in batch.column(text_col).to_pylist()
+            ]
+            th_all = token_hashes(tok_lists)
+            offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+            np.cumsum(
+                np.fromiter((len(ws) for ws in tok_lists), dtype=np.int64, count=len(tok_lists)),
+                out=offs[1:],
+            )
+            mins = []
+            for di in range(len(tok_lists)):
+                th = th_all[offs[di] : offs[di + 1]]
+                m = th.size
+                if m >= k:
+                    s = th[0 : m - k + 1] * comb[0]
+                    for j in range(1, k):
+                        s = s + th[j : m - k + 1 + j] * comb[j]
+                elif m > 0:  # short doc: ONE shingle of all m tokens
+                    s = np.array([(th * comb[:m]).sum()], dtype=np.uint64)
+                else:  # empty text: the empty shingle
+                    s = np.zeros(1, dtype=np.uint64)
+                sh = np.unique(mix64(s))
+                x = (sh % _P).astype(np.int64)[None, :]
+                mins.append(((a_vec * x + b_vec) % _P).min(axis=1).tolist())
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(mins, type=pa.list_(pa.int64()))],
                 names=[id_col, "sig"],
@@ -283,12 +338,23 @@ def minhash_lsh_pairs(
     magnitude smaller than the corpus, so the shingle arrays — the
     widest intermediate — never exist for non-candidates.
     """
+    from pyspark import StorageLevel
+
     if engine == "arrow":
         sigs = minhash_signatures_arrow(docs, text_col, num_hashes, k)
     else:
         sigs = minhash_signatures(docs, text_col, num_hashes, k).select("doc_id", "sig")
     banded = minhash_band_buckets(sigs, num_hashes, bands)
-    cand = _banded_pairs(banded, ["band", "bucket"], max_bucket)
+    # the candidate set has THREE consumers (id extraction ×2, final
+    # join) and the shingle frame two (self-join sides): without a
+    # persist each consumer re-executes the whole upstream subtree —
+    # signatures included — 3-4×. Both frames are candidate-sized (the
+    # tiny end of the funnel at any scale) and spill-safe
+    # (MEMORY_AND_DISK); this is the materialize-the-candidates step
+    # every at-scale LSH dedup performs.
+    cand = _banded_pairs(banded, ["band", "bucket"], max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
@@ -305,6 +371,7 @@ def minhash_lsh_pairs(
         docs.join(cand_ids, "doc_id", "left_semi")
         .repartition(par, "doc_id")
         .select("doc_id", shingles(F.col(text_col), k).alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
@@ -379,8 +446,15 @@ def simhash_pairs(
     """Near-dup pairs with hamming(sig_a, sig_b) ≤ max_hamming.
     Candidates via 16-bit chunk equality (4 chunks; hamming ≤ 3 over 64
     bits ⇒ at least one chunk identical — pigeonhole-complete)."""
-    sigs = with_simhash(docs.select("doc_id", text_col), text_col).select(
-        "doc_id", "sig"
+    from pyspark import StorageLevel
+
+    # the chunked frame feeds a self-join (2 sides) plus the star-pair
+    # branch: persist the narrow (doc_id, sig) frame so the 64-lane
+    # vote expression — the expensive part — runs once per doc, not 3×
+    sigs = (
+        with_simhash(docs.select("doc_id", text_col), text_col)
+        .select("doc_id", "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunked = sigs.select(
         "doc_id",
