@@ -90,6 +90,54 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         assert abs(got[uid][1] - tot) < 1e-6
 
 
+def test_stateful_running_totals_transform_with_state(spark, sf_dir, tmp_path):
+    """L7's Spark-4 surface (transformWithStateInPandas +
+    StatefulProcessor/ValueState) must produce the same final state as
+    the batch aggregate — same contract as the applyInPandasWithState
+    path above. The TWS wire protocol needs protobuf (not installable
+    in this sandbox): the plan must BUILD regardless; execution is
+    skipped where google.protobuf is absent."""
+    import pytest
+
+    from ocr_tool_spark.streaming import incremental as st
+
+    src = str(tmp_path / "ev_tws")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = st.read_events_stream(spark, src)
+    tws = st.running_user_totals_tws(stream)  # plan must always build
+    assert [f.name for f in tws.schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState wire protocol needs protobuf (not in sandbox)",
+    )
+    q = (
+        tws
+        .writeStream.format("memory")
+        .queryName("t_state_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("t_state_tws").collect()
+    }
+    exp = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    for uid, (n, tot) in exp.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tot) < 1e-6
+
+
 def test_salted_join_rejects_build_preserving_how(spark, sf_dir):
     import pytest as _pytest
 
