@@ -114,6 +114,28 @@ def test_stale_stage_different_input_fails_loudly(spark, tmp_path):
         runner.run(docs_df(spark, docs_b), run_id="pinned")
 
 
+def test_legacy_ok_stage_marker_is_adopted(spark, tmp_path):
+    """A stage dir written before the fingerprint marker existed holds
+    the literal 'ok': resuming must adopt it (warn + rewrite with the
+    computed fingerprint), not raise a migration error (ADVICE r2)."""
+    import os
+    import warnings
+
+    docs, _ = fixtures.gen_corpus(8, seed=1)
+    runner = PipelineRunner(spark, str(tmp_path / "w"), n_partitions=2)
+    d = docs_df(spark, docs)
+    runner.run(d, run_id="pinned")
+    marker = os.path.join(runner._stage_dir("pinned"), "_STAGED")
+    with open(marker, "w") as f:
+        f.write("ok")  # simulate the pre-upgrade marker format
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        runner.run(d, run_id="pinned")  # must not raise
+    assert any("legacy 'ok' marker" in str(x.message) for x in w)
+    with open(marker) as f:
+        assert f.read().strip() != "ok"  # upgraded to the fingerprint
+
+
 def test_default_run_id_differs_per_input(spark, tmp_path):
     """Default run_id folds in input identity: two different inputs in
     the same work_dir get distinct run ids (and distinct stage dirs)."""
