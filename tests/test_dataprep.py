@@ -289,6 +289,31 @@ def test_minhash_bucket_stats_surface_oversize(spark):
     assert all(r.max_size == 40 for r in stats)
 
 
+def test_minhash_arrow_signatures_partitioning_invariant(spark):
+    """J5 determinism for the vectorized hash kernel: a doc's signature
+    must not depend on batch composition or partition layout — the
+    rolling-polynomial rebase (× p^-start) must fully cancel each
+    token's absolute position in the batch buffer. Unicode whitespace
+    and NUL-adjacent tokens ride along as edge cases."""
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # identical → identical sig
+        (2, "café naïve 中文 tokens here"),
+        (3, "x y nbsp stays one token in java \\s"),
+        (4, ""),  # empty text
+        (5, "one two"),  # < k tokens
+        (6, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {}
+    for parts in (1, 7):
+        out = dedup.minhash_signatures_arrow(d.repartition(parts)).collect()
+        sigs[parts] = {r.doc_id: tuple(r.sig) for r in out}
+    assert sigs[1] == sigs[7]
+    assert sigs[1][0] == sigs[1][1]  # same text, same signature
+    assert all(len(s) == 32 for s in sigs[1].values())
+
+
 def test_minhash_expr_engine_matches_arrow_on_planted(spark):
     """Both signature engines (vectorized Arrow, pure JVM expressions)
     recover the identical planted dup/near-dup pair set."""
