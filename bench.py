@@ -13,11 +13,14 @@ per-page OCR; the resumable commit loop end-to-end) plus the
 shuffle-heavy relational queries — the ones whose plans decide 100 TB
 viability (hash agg, sort-merge join, window, LSH dedup, k-NN).
 
-Timing discipline (ADVICE r1): every row is the MIN of two runs —
-single-shot wall times swing ~2x on this shared host, and the first
-run pays JIT/codegen/Arrow warm-up the steady-state cluster never sees.
-The one-line JSON contract is unchanged; per-row raw pairs are in
-"runs" for auditability.
+Timing discipline (ADVICE r1, tightened r3): every row is the MIN of
+three runs — single-shot wall times swing ~2x on this shared host, and
+the first run pays JIT/codegen/Arrow warm-up the steady-state cluster
+never sees. The cache is CLEARED between runs (persisted LSH
+intermediates would otherwise make later runs cache reads), so every
+run performs the complete computation and min-of-N is pure
+noise-reduction, not amortization. The one-line JSON contract is
+unchanged; per-row raw samples are in "runs" for auditability.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ocr_tool_spark.session import build_session  # noqa: E402
 
-N_RUNS = 2
+N_RUNS = 3
 # 20k heavy docs: large enough that ext_mixed runs near steady-state
 # throughput (fixed session overhead + OCR tail amortized) while
 # keeping the suite under a driver-friendly minute

@@ -345,7 +345,7 @@ def minhash_lsh_pairs(
     else:
         sigs = minhash_signatures(docs, text_col, num_hashes, k).select("doc_id", "sig")
     banded = minhash_band_buckets(sigs, num_hashes, bands)
-    # the candidate set has THREE consumers (id extraction ×2, final
+    # the candidate set has two consumers (id extraction, final
     # join) and the shingle frame two (self-join sides): without a
     # persist each consumer re-executes the whole upstream subtree —
     # signatures included — 3-4×. Both frames are candidate-sized (the
@@ -357,9 +357,7 @@ def minhash_lsh_pairs(
     )
 
     cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     )
     # the semi-join is broadcast (cand_ids is small), so the shingle
     # stage would inherit the scan's split count; candidates are a tiny
