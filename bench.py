@@ -146,7 +146,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (extraction + shuffle-heavy relational), min of 2 runs/query",
+                "metric": "headline-suite wall time (extraction + shuffle-heavy relational), min of 3 cache-cleared runs/query",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
