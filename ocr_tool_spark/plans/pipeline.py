@@ -82,6 +82,17 @@ def ocr_referenced_media(
             )
         ).alias("page_idx", "page"),
     )
+    # OCR-stage task granularity: AQE coalesces the upstream semi-join
+    # output by BYTE size, but OCR cost-per-byte is ~1000x the rest of
+    # the plan, so byte-balanced partitions under-parallelize the most
+    # expensive stage (measured: 11 coalesced tasks on 8 cores with a
+    # 38 s straggler -> stage util 0.77). Round-robin the exploded
+    # pages to >= 8x parallelism so task packing is tight; skipped when
+    # the static partitioning already provides it (large clusters) —
+    # same parallelism-floor pattern as the dedup signature stage.
+    par = media_spans.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < 8 * par:
+        pages = pages.repartition(8 * par)
     per = pages.withColumn(
         "_ocr", ocr_media_udf("page", "width", "height", F.lit(1))
     ).select(

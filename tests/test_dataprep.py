@@ -387,6 +387,20 @@ def test_ivf_search_batch_queries(spark, sf_dir_mid, tmp_path):
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
 
 
+def test_srp_signatures_preserve_element_type(spark):
+    """ADVICE r2: srp_signatures must not silently downcast double
+    embeddings to float32 — the vec column's element type (and values)
+    must round-trip for both float and double inputs."""
+    rows = [(i, [0.1 * i, -0.25, 1.0 / 3.0]) for i in range(6)]
+    for elem in ("float", "double"):
+        e = spark.createDataFrame(rows, f"vec_id long, embedding array<{elem}>")
+        out = similarity.srp_signatures(e, dim=3, n_bits=4, n_tables=2)
+        assert out.schema["embedding"].dataType.elementType.simpleString() == elem
+        got = {r.vec_id: r.embedding for r in out.collect()}
+        exp = {r.vec_id: r.embedding for r in e.collect()}
+        assert got == exp  # values unchanged at the input precision
+
+
 def test_near_dup_lsh_blocking_recall_vs_label_blocking(spark):
     """Default (unlabeled) LSH-bucket blocking must recover ~all the
     near-dup pairs that ground-truth label blocking finds on clustered
