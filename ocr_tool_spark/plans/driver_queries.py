@@ -4,8 +4,12 @@ One entry per SQL-expressible operator in SURVEY.md §2; each Spark
 callable takes (spark, sf_dir) and must hash-match its ANSI-SQL oracle
 run by DuckDB over the same parquet tables (driver contract in
 /root/repo/__spark_entry__.py). Keys without an oracle entry get the
-driver's weaker rows-only check (genuinely approximate ops only:
-MinHash/SimHash banding, LSH/IVF probes).
+driver's weaker rows-only check — since r3 that is ONLY q_knn_ivf
+(Spark-ML kmeans|| centroids are engine-internal); the other formerly
+rows-only ops (MinHash/SimHash banding, SRP/LSH probe) carry generated
+VALUES oracles from the plain-Python executable spec
+tests/refspec_dataprep.py, because their output is a deterministic
+function of the input.
 
 REGISTRATION BUDGET (VERDICT r1 next-step #1): the driver evaluates the
 FIRST 50 registered keys, so this file registers exactly 50 inside that
@@ -1052,18 +1056,85 @@ def q_dedup_ngram(spark, sf):
     return adjacent_jaccard(load_table(spark, sf, "documents"))
 
 
-@q("q_dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL; recall
-def q_dedup_minhash(spark, sf):  # (incl. >cap buckets) asserted in pytest
+def _dataprep_replay_docs():
+    """The planted sf0.01 documents as plain rows, for the
+    refspec_dataprep-generated oracles. LSH banding isn't ANSI-SQL, but
+    these operators' OUTPUT is a pure deterministic function of the
+    input (fixed hash constants/hyperplanes, no query-time RNG), so a
+    plain-Python replay over the same parquet is a legitimate
+    differential oracle. The driver contract pins correctness runs to
+    sf=0.01 (TESTDATA.md); a missing dir degrades the oracle to the
+    rows-only check via the oracle_sql() wrapper."""
+    import pyarrow.parquet as pq
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    path = os.path.join(base, "sf0.01", "documents.parquet")
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    docs += [(i + 1000000, s) for i, s in docs if i % 10 == 0]
+    return docs
+
+
+def _refspec_dataprep():
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
+    import refspec_dataprep
+
+    return refspec_dataprep
+
+
+@functools.lru_cache(maxsize=1)
+def _minhash_oracle_sql() -> str:
+    """Generated VALUES oracle for K2: the full MinHash+LSH pipeline
+    (polynomial-hash signatures, banded buckets, star-pairing,
+    exact-Jaccard verify) replayed by the plain-Python executable spec
+    (tests/refspec_dataprep.py, per-doc loops, python ints) over the
+    same planted sf0.01 corpus. Bit-equality asserted in
+    tests/test_refspec_dataprep.py."""
+    spec = _refspec_dataprep()
+    rows = [
+        f"({a},{b},{_sql_double(j)})"
+        for a, b, j in spec.minhash_pairs(_dataprep_replay_docs(), threshold=0.6)
+    ]
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard "
+        f"FROM (VALUES {','.join(rows)}) AS t(id_a, id_b, jaccard)"
+    )
+
+
+@q("q_dedup_minhash", _minhash_oracle_sql)
+def q_dedup_minhash(spark, sf):
     """K2 MinHash+LSH near-dup pairs (Arrow signature stage, banded
-    buckets, star-pairing for oversized buckets, exact-Jaccard verify)."""
+    buckets, star-pairing for oversized buckets, exact-Jaccard verify),
+    hash-checked against the refspec_dataprep replay (upgraded from
+    rows-only in r3); recall incl. >cap buckets asserted in pytest."""
     from ocr_tool_spark.dataprep.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
 
 
-@q("q_dedup_simhash")  # rows-only: see q_dedup_minhash
+@functools.lru_cache(maxsize=1)
+def _simhash_oracle_sql() -> str:
+    """Generated VALUES oracle for K3: Charikar simhash (per-token
+    xxhash64 bit votes — the python XXH64 is verified against the JVM
+    in tests), 16-bit chunk bucketing, hamming verify — replayed by
+    tests/refspec_dataprep.py."""
+    spec = _refspec_dataprep()
+    rows = [
+        f"({a},{b},{h})"
+        for a, b, h in spec.simhash_pairs(_dataprep_replay_docs(), max_hamming=3)
+    ]
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(hamming AS INT) AS hamming "
+        f"FROM (VALUES {','.join(rows)}) AS t(id_a, id_b, hamming)"
+    )
+
+
+@q("q_dedup_simhash", _simhash_oracle_sql)
 def q_dedup_simhash(spark, sf):
-    """K3 SimHash near-dup pairs (pigeonhole chunk bucketing)."""
+    """K3 SimHash near-dup pairs (pigeonhole chunk bucketing),
+    hash-checked against the refspec_dataprep replay (upgraded from
+    rows-only in r3)."""
     from ocr_tool_spark.dataprep.dedup import simhash_pairs
 
     return simhash_pairs(_planted_docs(spark, sf), max_hamming=3)
@@ -1114,18 +1185,47 @@ def q_knn_cosine(spark, sf):
     return brute_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-@q("q_knn_lsh")  # rows-only: approximate by design; recall vs brute force
-def q_knn_lsh(spark, sf):  # is asserted in pytest
-    """K7 SRP/LSH-bucketed approximate k-NN."""
+@functools.lru_cache(maxsize=1)
+def _knn_lsh_oracle_sql() -> str:
+    """Generated VALUES oracle for K7: deterministic SRP bucketing +
+    left-fold cosine + Spark-HALF_UP rounding replayed by
+    tests/refspec_dataprep.py over the same sf0.01 embeddings."""
+    import pyarrow.parquet as pq
+
+    spec = _refspec_dataprep()
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    t = pq.read_table(
+        os.path.join(base, "sf0.01", "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    rows_in = list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    rows = [
+        f"({i},{_sql_double(c)})"
+        for i, c in spec.lsh_topk(rows_in, query_vec_id=0, k=10)
+    ]
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, cos_sim "
+        f"FROM (VALUES {','.join(rows)}) AS t(vec_id, cos_sim)"
+    )
+
+
+@q("q_knn_lsh", _knn_lsh_oracle_sql)
+def q_knn_lsh(spark, sf):
+    """K7 SRP/LSH-bucketed approximate k-NN, hash-checked against the
+    refspec_dataprep replay (upgraded from rows-only in r3); recall vs
+    brute force asserted in pytest."""
     from ocr_tool_spark.dataprep.similarity import lsh_topk
 
     return lsh_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-@q("q_knn_ivf")  # rows-only: approximate by design; recall + build-once
-def q_knn_ivf(spark, sf):  # index contract asserted in pytest
+@q("q_knn_ivf")  # rows-only: the coarse quantizer is a Spark-ML KMeans
+def q_knn_ivf(spark, sf):  # fit (kmeans||, engine-internal centroids) — not
     """K7b IVF k-NN: build-once persisted index (ivf_build), probes via
-    the declarative ivf_search — no KMeans fit in the probe path."""
+    the declarative ivf_search — no KMeans fit in the probe path. The
+    one remaining rows-only key: its cells depend on Spark-ML's
+    kmeans|| initialization, which no independent replay can reproduce;
+    recall + the build-once index contract are asserted in pytest."""
     from ocr_tool_spark.dataprep.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
