@@ -1496,6 +1496,34 @@ def q_frame_sample(spark, sf):  # 50-key window; locally oracle-gated
     )
 
 
+@q(
+    "q_knn_ivf_recall",
+    "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS recall_ok, "
+    "CAST(1 AS BIGINT) AS exhaustive_exact",
+)  # past the driver's 50-key window; locally oracle-gated
+def q_knn_ivf_recall(spark, sf):
+    """K7b property-encoded oracle (hll_ok pattern): the IVF probe's
+    top-10 at nprobe=4 must overlap brute-force top-10 by >=7, and at
+    nprobe=n_centroids (exhaustive) must EQUAL brute force exactly.
+    The neighbor VALUES stay engine-internal (Spark-ML kmeans||
+    centroids) — q_knn_ivf carries them rows-only — but these two
+    properties are deterministic and hash-checkable."""
+    from ocr_tool_spark.dataprep.similarity import brute_topk, ivf_topk
+
+    e = load_table(spark, sf, "embeddings")
+    brute = [(r.vec_id, r.cos_sim) for r in brute_topk(e, query_vec_id=0, k=10).collect()]
+    approx = {r.vec_id for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=4).collect()}
+    exhaustive = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=16).collect()
+    ]
+    recall_ok = len(approx & {v for v, _ in brute}) >= 7
+    return spark.createDataFrame(
+        [(10, int(recall_ok), int(exhaustive == brute))],
+        "k long, recall_ok long, exhaustive_exact long",
+    )
+
+
 @q("q_snapshot_time_travel")  # rows-only, registered PAST the driver's
 def q_snapshot_time_travel(spark, sf):  # 50-key window (pytest-gated)
     """A1/A2 snapshot-read of the local Iceberg-emulating adapter: two
