@@ -56,6 +56,9 @@ _ENTITY = re.compile(r"&(?:([a-zA-Z]+)|#(\d+)|#[xX]([0-9a-fA-F]+));")
 
 
 def _decode(s: str) -> str:
+    if "&" not in s:  # entity-free fast path: _ENTITY.sub is identity
+        return s
+
     def repl(m: re.Match) -> str:
         if m.group(1) is not None:
             return NAMED_ENTITIES.get(m.group(1), m.group(0))
@@ -82,13 +85,16 @@ def dom_blocks(html: str | None) -> list[dict]:
 
     def flush() -> None:
         nonlocal n_tags
+        if not plain:  # tag-only boundary (e.g. </div><div>): no block
+            n_tags = 0
+            return
         full = _collapse("".join(plain))
         if full:
             blocks.append(
                 {
                     "text": full,
                     "n_chars": len(full),
-                    "n_link_chars": len(_collapse("".join(linked))),
+                    "n_link_chars": len(_collapse("".join(linked))) if linked else 0,
                     "n_tags": n_tags,
                     "in_boiler": boiler_depth > 0,
                 }
