@@ -107,6 +107,25 @@ def order_blocks(blocks: list[tuple[int, int, int, int]]) -> list[tuple[int, int
     return [tuple(int(v) for v in row) for row in final]
 
 
+_CROP_CACHE: dict[tuple[int, int, bytes], str | None] = {}
+_CROP_CACHE_MAX = 4096  # glyph variety is tiny; cap guards weird inputs
+
+
+def _char_of(run_crop: np.ndarray) -> str | None:
+    """Char for one ink run, memoized on the RAW crop bytes: the
+    trimmed-pattern key costs ~20 numpy calls on a 7x5 array, and a
+    worker sees the same few dozen glyph crops millions of times —
+    profiled at 70% of read_media before caching."""
+    key = (run_crop.shape[0], run_crop.shape[1], run_crop.tobytes())
+    try:
+        return _CROP_CACHE[key]
+    except KeyError:
+        ch = TEMPLATES.get(trimmed_pattern(run_crop.astype(np.uint8)))
+        if len(_CROP_CACHE) < _CROP_CACHE_MAX:
+            _CROP_CACHE[key] = ch
+        return ch
+
+
 def read_block(page: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
     """Template OCR of one leaf block (line bands -> char runs -> exact
     tight-bbox template lookup; >= SPACE_GAP blank cols = one space)."""
@@ -120,7 +139,7 @@ def read_block(page: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
         for cs, ce in _runs(band.any(axis=0)):
             if prev_end >= 0 and cs - prev_end >= SPACE_GAP and chars:
                 chars.append(" ")
-            ch = TEMPLATES.get(trimmed_pattern(band[:, cs:ce].astype(np.uint8)))
+            ch = _char_of(band[:, cs:ce])
             if ch is not None:
                 chars.append(ch)
             prev_end = ce
