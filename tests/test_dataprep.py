@@ -289,6 +289,27 @@ def test_minhash_bucket_stats_surface_oversize(spark):
     assert all(r.max_size == 40 for r in stats)
 
 
+def test_ocr_glyph_cache_handles_unknown_crops(spark):
+    """The glyph crop cache must stay bounded and correct on inputs
+    full of unknown (non-template) ink patterns — noise pages produce
+    arbitrary crops that must neither crash nor evict known glyphs
+    into wrong answers."""
+    import numpy as np
+
+    from ocr_tool_spark.functions import ocr
+    from ocr_tool_spark.functions.glyphs import render_line
+
+    rng = np.random.default_rng(5)
+    noise = (rng.random((40, 60)) < 0.35).astype(np.uint8) * 255
+    out_noise = ocr.read_media(noise.tobytes(), 60, 40, 1)
+    assert isinstance(out_noise, str)  # unknown runs skipped, no crash
+    assert len(ocr._CROP_CACHE) <= ocr._CROP_CACHE_MAX
+    line = render_line("HELLO 42")
+    page = np.zeros((line.shape[0] + 4, line.shape[1] + 4), dtype=np.uint8)
+    page[2 : 2 + line.shape[0], 2 : 2 + line.shape[1]] = line
+    assert ocr.read_media(page.tobytes(), page.shape[1], page.shape[0], 1) == "HELLO 42"
+
+
 def test_minhash_arrow_signatures_partitioning_invariant(spark):
     """J5 determinism for the vectorized hash kernel: a doc's signature
     must not depend on batch composition or partition layout — the
