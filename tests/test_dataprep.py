@@ -449,6 +449,38 @@ def test_near_dup_lsh_blocking_recall_vs_label_blocking(spark):
         assert a < b
 
 
+def test_near_dup_degenerate_bucket_is_star_capped(spark):
+    """VERDICT r3 wrong #1: a dense cluster (200 near-copies of one
+    embedding — all landing in the same SRP bucket in every table) must
+    NOT self-join all-pairs (~19,900 pairs): pair count stays O(n) via
+    star-pairing, and every member stays connected to the canonical
+    (min-id) survivor."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=32)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(scale=0.001, size=32)])
+        for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.near_dup_pairs(
+        e, threshold=0.9, dim=32, n_bits=6, n_tables=4, max_bucket=64
+    ).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(200)), "a cluster member lost connectivity"
+    # star pairs: every pair anchors at the min-id representative, so
+    # the count is O(n), not O(n^2)
+    assert len(pairs) <= 4 * 200, f"{len(pairs)} pairs — bucket not capped"
+    assert all(r.id_a == 0 for r in pairs), "star anchor is not the min id"
+    assert all(r.cos_sim >= 0.9 for r in pairs)
+
+    # and with the cap lifted the same input IS all-pairs — the cap is
+    # the only thing standing between this shape and O(n^2)
+    uncapped = similarity.near_dup_pairs(
+        e, threshold=0.9, dim=32, n_bits=6, n_tables=4, max_bucket=100_000
+    ).count()
+    assert uncapped == 200 * 199 // 2
+
+
 def test_ivf_build_rebuilds_on_param_change(spark, sf_dir_mid, tmp_path):
     """Same index path + different quantizer params must rebuild, not
     silently serve the stale index (code-review r2)."""
