@@ -87,12 +87,16 @@ def ocr_referenced_media(
     # the plan, so byte-balanced partitions under-parallelize the most
     # expensive stage (measured: 11 coalesced tasks on 8 cores with a
     # 38 s straggler -> stage util 0.77). Round-robin the exploded
-    # pages to >= 8x parallelism so task packing is tight; skipped when
-    # the static partitioning already provides it (large clusters) —
-    # same parallelism-floor pattern as the dedup signature stage.
+    # pages to 8x parallelism UNCONDITIONALLY: the old
+    # .rdd.getNumPartitions() probe forced AQE to materialize the
+    # semi-join's query stages at plan-construction time — the shuffle
+    # ran once for the probe and again for the real action (ADVICE r3,
+    # medium) — and AQE coalescing meant the repartition fired anyway.
+    # 8*cores work units is the right OCR granularity at every scale;
+    # the shuffle it costs is the page frame itself, which the OCR
+    # stage dwarfs ~1000x.
     par = media_spans.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < 8 * par:
-        pages = pages.repartition(8 * par)
+    pages = pages.repartition(8 * par)
     per = pages.withColumn(
         "_ocr", ocr_media_udf("page", "width", "height", F.lit(1))
     ).select(
