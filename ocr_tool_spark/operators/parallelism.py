@@ -77,15 +77,41 @@ def estimated_scan_splits(df: DataFrame) -> int | None:
     return max(1, math.ceil(total / max(max_split, 1)))
 
 
-def ensure_parallelism_floor(df: DataFrame, target: int) -> DataFrame:
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Total stat'able bytes behind df's file scan(s), or None for a
+    non-file-backed frame. Driver-side metadata only."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        if f.startswith("file:") and os.path.exists(local):
+            total += os.path.getsize(local)
+    return total
+
+
+def ensure_parallelism_floor(
+    df: DataFrame, target: int, min_bytes: int = 0
+) -> DataFrame:
     """Round-robin repartition df to `target` iff its scan would yield
     fewer splits — the parallelism floor before an expensive Python
     stage. In-memory frames (None estimate) are repartitioned
     unconditionally: they are driver-sized by construction, so the
     shuffle is trivial, and small createDataFrame inputs are exactly
     the underfilled case the floor exists for. At 100 TB the estimate
-    is always >> target and this is a no-op — no shuffle added."""
+    is always >> target and this is a no-op — no shuffle added.
+
+    min_bytes skips the floor for file scans smaller than that: when
+    the per-row Python stage is vectorized (the minhash kernel), a
+    sub-min_bytes corpus finishes serially faster than its repartition
+    shuffle schedules (measured r4: 1.4 s vs 2.0 s on the sf0.1
+    suite), while a big-but-underfilled scan still gets spread."""
     est = estimated_scan_splits(df)
-    if est is None or est < target:
+    if est is None:
+        return df.repartition(target)
+    if est < target:
+        if min_bytes and (scan_input_bytes(df) or 0) < min_bytes:
+            return df
         return df.repartition(target)
     return df

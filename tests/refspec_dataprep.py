@@ -165,6 +165,26 @@ def _token_hash(tok: str) -> int:
     return _mix64(h ^ ((len(b) * _LEN_C) & _M))
 
 
+def shingle_hash_set(text: str, k: int = 3) -> frozenset[int]:
+    """Mirror of dedup.shingle_hash_sets for one document: the DISTINCT
+    mixed 64-bit shingle hashes the Arrow kernel produces (unsigned).
+    The LSH verify intersects these instead of shingle strings; Jaccard
+    is identical to the string-set form absent a 2^-64 collision."""
+    comb = [(_mix64(((j + 1) * _COMB_C) & _M) | 1) for j in range(k)]
+    th = [_token_hash(w) for w in _kernel_tokens(text)]
+    m = len(th)
+    if m >= k:
+        raw = [
+            sum(th[i + j] * comb[j] for j in range(k)) & _M
+            for i in range(m - k + 1)
+        ]
+    elif m > 0:
+        raw = [sum(th[j] * comb[j] for j in range(m)) & _M]
+    else:
+        raw = [0]
+    return frozenset(_mix64(s) for s in raw)
+
+
 def minhash_signature(text: str, num_hashes: int = 32, k: int = 3) -> tuple[int, ...]:
     """Mirror of dedup.minhash_signatures_arrow for one document."""
     comb = [(_mix64(((j + 1) * _COMB_C) & _M) | 1) for j in range(k)]
@@ -231,7 +251,7 @@ def minhash_pairs(
             key = (b, sig[b * rows_per_band : (b + 1) * rows_per_band])
             buckets.setdefault(key, []).append(i)
     cand = _bucket_pairs(buckets, max_bucket)
-    sh = {i: shingle_set(t, k) for i, t in docs}
+    sh = {i: shingle_hash_set(t, k) for i, t in docs}
     out = []
     for a, b in sorted(cand):
         inter = len(sh[a] & sh[b])

@@ -43,6 +43,34 @@ def test_minhash_signature_matches_arrow_kernel(spark, sf_dir_mid):
         assert spec.minhash_signature(t) == got[i], f"doc {i}"
 
 
+def test_minhash_signature_nonascii_fallback_matches_spec(spark):
+    """The Arrow kernel's vectorized byte path only handles ASCII; any
+    high byte in a batch must route through the Python-string fallback
+    and still equal the plain-Python spec bit-for-bit — NBSP (Unicode
+    whitespace Java \\s does NOT split), accented letters with
+    non-trivial lower(), CJK, and edge shapes (empty, <k tokens,
+    whitespace-only, NULs)."""
+    texts = [
+        "plain ascii words here for a normal doc",
+        "café naïve résumé straße İstanbul",
+        "nbsp joined tokens stay one",  # NBSP is NOT Java \s
+        "中文 文本 分词 测试 样例",
+        "",
+        "two tokens",
+        " \t\n ",
+        "nul\x00byte token mix",
+        "MiXeD CaSe ASCII with É at the end",
+    ]
+    docs = list(enumerate(texts))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r.sig)
+        for r in dedup.minhash_signatures_arrow(d).collect()
+    }
+    for i, t in docs:
+        assert spec.minhash_signature(t) == got[i], f"doc {i}: {t!r}"
+
+
 def test_minhash_pairs_replay_equals_spark(spark, sf_dir_mid):
     docs = _planted(sf_dir_mid)
     d = spark.createDataFrame(docs, "doc_id long, text string")
