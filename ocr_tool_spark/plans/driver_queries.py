@@ -472,35 +472,39 @@ def q_sort(spark, sf):
 
 
 @q(
-    "q_intersect",
-    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
-    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
-)
-def q_intersect(spark, sf):
-    o = load_table(spark, sf, "orders")
-    return (
-        o.filter(F.col("o_orderstatus") == "F")
-        .select("o_custkey")
-        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
-    )
-
-
-@q(
     "q_setops",
-    "(SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0 "
-    "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) "
+    "SELECT 'except' AS op, k, v FROM ("
+    "(SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_acctbal < 0 "
+    "UNION ALL SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_acctbal > 9000) "
     "EXCEPT "
-    "SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey = 3",
+    "SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_nationkey = 3) "
+    "UNION ALL "
+    "SELECT 'intersect' AS op, k, CAST(0 AS DOUBLE) AS v FROM ("
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')",
 )
 def q_setops(spark, sf):
-    """F4 union-all + F5 except (distinct semantics) in one tree."""
-    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
-    u = c.filter(F.col("c_acctbal") < 0).unionByName(c.filter(F.col("c_acctbal") > 9000))
-    return u.subtract(
+    """F4 union-all + F5 except AND intersect (distinct semantics) in
+    one tagged tree — the former standalone q_intersect is merged here
+    (r4, VERDICT r3 next #2) to free a driver-window slot for the IVF
+    property oracle."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v")
+    )
+    u = c.filter(F.col("v") < 0).unionByName(c.filter(F.col("v") > 9000))
+    ex = u.subtract(
         load_table(spark, sf, "customer")
         .filter(F.col("c_nationkey") == 3)
-        .select("c_custkey", "c_acctbal")
+        .select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v"))
+    ).select(F.lit("except").alias("op"), "k", "v")
+    o = load_table(spark, sf, "orders")
+    ix = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")))
+        .select(F.lit("intersect").alias("op"), "k", F.lit(0.0).cast("double").alias("v"))
     )
+    return ex.unionByName(ix)
 
 
 @q(
@@ -1237,6 +1241,37 @@ def q_knn_ivf(spark, sf):  # fit (kmeans||, engine-internal centroids) — not
 
 
 @q(
+    "q_knn_ivf_recall",
+    "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS recall_ok, "
+    "CAST(1 AS BIGINT) AS exhaustive_exact",
+)  # IN the driver window since r4 (VERDICT r3 next #2)
+def q_knn_ivf_recall(spark, sf):
+    """K7b property-encoded oracle (hll_ok pattern): the IVF probe's
+    top-10 at nprobe=4 must overlap brute-force top-10 by >=7, and at
+    nprobe=n_centroids (exhaustive) must EQUAL brute force exactly.
+    The neighbor VALUES stay engine-internal (Spark-ML kmeans||
+    centroids) — q_knn_ivf carries them rows-only — but these two
+    properties are deterministic and hash-checkable, and since r4 this
+    key sits INSIDE the 50-key driver window (the q_intersect slot was
+    merged into q_setops), so the driver sees the IVF contract as a
+    hash-matched row."""
+    from ocr_tool_spark.dataprep.similarity import brute_topk, ivf_topk
+
+    e = load_table(spark, sf, "embeddings")
+    brute = [(r.vec_id, r.cos_sim) for r in brute_topk(e, query_vec_id=0, k=10).collect()]
+    approx = {r.vec_id for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=4).collect()}
+    exhaustive = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=16).collect()
+    ]
+    recall_ok = len(approx & {v for v, _ in brute}) >= 7
+    return spark.createDataFrame(
+        [(10, int(recall_ok), int(exhaustive == brute))],
+        "k long, recall_ok long, exhaustive_exact long",
+    )
+
+
+@q(
     "q_knn_batch",
     "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid, "
     "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim "
@@ -1498,34 +1533,6 @@ def q_frame_sample(spark, sf):  # 50-key window; locally oracle-gated
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.md5("frame").alias("frame_md5"),
-    )
-
-
-@q(
-    "q_knn_ivf_recall",
-    "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS recall_ok, "
-    "CAST(1 AS BIGINT) AS exhaustive_exact",
-)  # past the driver's 50-key window; locally oracle-gated
-def q_knn_ivf_recall(spark, sf):
-    """K7b property-encoded oracle (hll_ok pattern): the IVF probe's
-    top-10 at nprobe=4 must overlap brute-force top-10 by >=7, and at
-    nprobe=n_centroids (exhaustive) must EQUAL brute force exactly.
-    The neighbor VALUES stay engine-internal (Spark-ML kmeans||
-    centroids) — q_knn_ivf carries them rows-only — but these two
-    properties are deterministic and hash-checkable."""
-    from ocr_tool_spark.dataprep.similarity import brute_topk, ivf_topk
-
-    e = load_table(spark, sf, "embeddings")
-    brute = [(r.vec_id, r.cos_sim) for r in brute_topk(e, query_vec_id=0, k=10).collect()]
-    approx = {r.vec_id for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=4).collect()}
-    exhaustive = [
-        (r.vec_id, r.cos_sim)
-        for r in ivf_topk(e, query_vec_id=0, k=10, nprobe=16).collect()
-    ]
-    recall_ok = len(approx & {v for v, _ in brute}) >= 7
-    return spark.createDataFrame(
-        [(10, int(recall_ok), int(exhaustive == brute))],
-        "k long, recall_ok long, exhaustive_exact long",
     )
 
 
