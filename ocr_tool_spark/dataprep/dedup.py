@@ -383,7 +383,7 @@ def minhash_lsh_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -397,6 +397,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # caller-owned cache handles: dataprep.release_intermediates(out)
+    # unpersists them once the result is materialized (ADVICE r3)
+    out._ocr_persisted = [cand, sh]  # noqa: SLF001
+    return out
 
 
 # ------------------------------------------------------------- simhash
@@ -505,11 +509,14 @@ def simhash_pairs(
             F.bit_count(F.col("_rep.sig").bitwiseXOR(F.col("sig"))).alias("hamming"),
         )
     )
-    return (
+    out = (
         small_pairs.unionByName(big_pairs)
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    # caller-owned cache handle (see minhash_lsh_pairs / ADVICE r3)
+    out._ocr_persisted = [sigs]  # noqa: SLF001
+    return out
 
 
 # ------------------------------------------------------- n-gram jaccard

@@ -1060,23 +1060,46 @@ def q_dedup_ngram(spark, sf):
     return adjacent_jaccard(load_table(spark, sf, "documents"))
 
 
-def _dataprep_replay_docs():
-    """The planted sf0.01 documents as plain rows, for the
+def _replay_sf_dir() -> str:
+    """The sf dir the generated dataprep oracles replay over. The
+    driver contract pins correctness runs to sf=0.01 (TESTDATA.md), so
+    that is the default; a run at any OTHER scale must export
+    SPARK_GRAFT_ORACLE_SF_DIR to the same dir it passes the Spark
+    queries, or the oracle would silently describe different data and
+    guarantee a false mismatch (ADVICE r3)."""
+    env = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if env:
+        return env
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    return os.path.join(base, "sf0.01")
+
+
+def _dataprep_replay_docs(sf_dir: str):
+    """The planted documents of `sf_dir` as plain rows, for the
     refspec_dataprep-generated oracles. LSH banding isn't ANSI-SQL, but
     these operators' OUTPUT is a pure deterministic function of the
     input (fixed hash constants/hyperplanes, no query-time RNG), so a
     plain-Python replay over the same parquet is a legitimate
-    differential oracle. The driver contract pins correctness runs to
-    sf=0.01 (TESTDATA.md); a missing dir degrades the oracle to the
+    differential oracle. A missing dir degrades the oracle to the
     rows-only check via the oracle_sql() wrapper."""
     import pyarrow.parquet as pq
 
-    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
-    path = os.path.join(base, "sf0.01", "documents.parquet")
-    t = pq.read_table(path, columns=["doc_id", "text"])
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
     docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
     docs += [(i + 1000000, s) for i, s in docs if i % 10 == 0]
     return docs
+
+
+def _values_oracle(rows: list[str], select: str, alias: str) -> str:
+    """Wrap generated VALUES rows; an EMPTY replay raises so the
+    oracle_sql() wrapper degrades that key to rows-only instead of
+    emitting 'FROM (VALUES )' — a DuckDB parse error that would fail
+    the whole driver run (ADVICE r3)."""
+    if not rows:
+        raise ValueError("empty replay result — degrade to rows-only")
+    return f"{select} FROM (VALUES {','.join(rows)}) AS {alias}"
 
 
 def _refspec_dataprep():
@@ -1086,23 +1109,28 @@ def _refspec_dataprep():
     return refspec_dataprep
 
 
-@functools.lru_cache(maxsize=1)
-def _minhash_oracle_sql() -> str:
-    """Generated VALUES oracle for K2: the full MinHash+LSH pipeline
-    (polynomial-hash signatures, banded buckets, star-pairing,
-    exact-Jaccard verify) replayed by the plain-Python executable spec
-    (tests/refspec_dataprep.py, per-doc loops, python ints) over the
-    same planted sf0.01 corpus. Bit-equality asserted in
-    tests/test_refspec_dataprep.py."""
+@functools.lru_cache(maxsize=2)
+def _minhash_oracle_sql_for(sf_dir: str) -> str:
     spec = _refspec_dataprep()
     rows = [
         f"({a},{b},{_sql_double(j)})"
-        for a, b, j in spec.minhash_pairs(_dataprep_replay_docs(), threshold=0.6)
+        for a, b, j in spec.minhash_pairs(_dataprep_replay_docs(sf_dir), threshold=0.6)
     ]
-    return (
-        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard "
-        f"FROM (VALUES {','.join(rows)}) AS t(id_a, id_b, jaccard)"
+    return _values_oracle(
+        rows,
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard",
+        "t(id_a, id_b, jaccard)",
     )
+
+
+def _minhash_oracle_sql() -> str:
+    """Generated VALUES oracle for K2: the full MinHash+LSH pipeline
+    (polynomial-hash signatures, banded buckets, star-pairing,
+    hash-set-Jaccard verify) replayed by the plain-Python executable
+    spec (tests/refspec_dataprep.py, per-doc loops, python ints) over
+    the same planted corpus (_replay_sf_dir). Bit-equality asserted in
+    tests/test_refspec_dataprep.py."""
+    return _minhash_oracle_sql_for(_replay_sf_dir())
 
 
 @q("q_dedup_minhash", _minhash_oracle_sql)
@@ -1116,22 +1144,27 @@ def q_dedup_minhash(spark, sf):
     return minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
 
 
-@functools.lru_cache(maxsize=1)
+@functools.lru_cache(maxsize=2)
+def _simhash_oracle_sql_for(sf_dir: str) -> str:
+    spec = _refspec_dataprep()
+    rows = [
+        f"({a},{b},{h})"
+        for a, b, h in spec.simhash_pairs(_dataprep_replay_docs(sf_dir), max_hamming=3)
+    ]
+    return _values_oracle(
+        rows,
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(hamming AS INT) AS hamming",
+        "t(id_a, id_b, hamming)",
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """Generated VALUES oracle for K3: Charikar simhash (per-token
     xxhash64 bit votes — the python XXH64 is verified against the JVM
     in tests), 16-bit chunk bucketing, hamming verify — replayed by
-    tests/refspec_dataprep.py."""
-    spec = _refspec_dataprep()
-    rows = [
-        f"({a},{b},{h})"
-        for a, b, h in spec.simhash_pairs(_dataprep_replay_docs(), max_hamming=3)
-    ]
-    return (
-        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
-        "CAST(hamming AS INT) AS hamming "
-        f"FROM (VALUES {','.join(rows)}) AS t(id_a, id_b, hamming)"
-    )
+    tests/refspec_dataprep.py over _replay_sf_dir()."""
+    return _simhash_oracle_sql_for(_replay_sf_dir())
 
 
 @q("q_dedup_simhash", _simhash_oracle_sql)
@@ -1194,17 +1227,13 @@ def q_knn_cosine(spark, sf):
     return brute_topk(load_table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-@functools.lru_cache(maxsize=1)
-def _knn_lsh_oracle_sql() -> str:
-    """Generated VALUES oracle for K7: deterministic SRP bucketing +
-    left-fold cosine + Spark-HALF_UP rounding replayed by
-    tests/refspec_dataprep.py over the same sf0.01 embeddings."""
+@functools.lru_cache(maxsize=2)
+def _knn_lsh_oracle_sql_for(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     spec = _refspec_dataprep()
-    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     t = pq.read_table(
-        os.path.join(base, "sf0.01", "embeddings.parquet"),
+        os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
     rows_in = list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
@@ -1212,10 +1241,18 @@ def _knn_lsh_oracle_sql() -> str:
         f"({i},{_sql_double(c)})"
         for i, c in spec.lsh_topk(rows_in, query_vec_id=0, k=10)
     ]
-    return (
-        "SELECT CAST(vec_id AS BIGINT) AS vec_id, cos_sim "
-        f"FROM (VALUES {','.join(rows)}) AS t(vec_id, cos_sim)"
+    return _values_oracle(
+        rows,
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, cos_sim",
+        "t(vec_id, cos_sim)",
     )
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """Generated VALUES oracle for K7: deterministic SRP bucketing +
+    left-fold cosine + Spark-HALF_UP rounding replayed by
+    tests/refspec_dataprep.py over _replay_sf_dir()'s embeddings."""
+    return _knn_lsh_oracle_sql_for(_replay_sf_dir())
 
 
 @q("q_knn_lsh", _knn_lsh_oracle_sql)

@@ -136,6 +136,23 @@ def test_legacy_ok_stage_marker_is_adopted(spark, tmp_path):
         assert f.read().strip() != "ok"  # upgraded to the fingerprint
 
 
+def test_legacy_ok_marker_with_wrong_content_fails_loudly(spark, tmp_path):
+    """ADVICE r3: a legacy 'ok' marker is only adopted after a content
+    sample (count + doc_id envelope) matches the CURRENT input; staged
+    data from a different corpus must raise, not be silently merged."""
+    import os
+
+    docs_a, _ = fixtures.gen_corpus(8, seed=1)
+    docs_b, _ = fixtures.gen_corpus(12, seed=2)
+    runner = PipelineRunner(spark, str(tmp_path / "w"), n_partitions=2)
+    runner.run(docs_df(spark, docs_a), run_id="pinned")
+    marker = os.path.join(runner._stage_dir("pinned"), "_STAGED")
+    with open(marker, "w") as f:
+        f.write("ok")
+    with pytest.raises(ValueError, match="content sample"):
+        runner.run(docs_df(spark, docs_b), run_id="pinned")
+
+
 def test_default_run_id_differs_per_input(spark, tmp_path):
     """Default run_id folds in input identity: two different inputs in
     the same work_dir get distinct run ids (and distinct stage dirs)."""
