@@ -406,6 +406,63 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------- simhash
 
 
+def simhash_signatures_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: signed 64-bit Charikar simhash) via one vectorized
+    Arrow stage sharing the minhash token-hash kernel (polynomial +
+    splitmix64 — the base hash is engine-internal; r3 used xxhash64
+    through a 64-lane JVM vote expression that cost ~0.8 ms/doc and was
+    the bench suite's slowest row). Per bit j the vote total is
+    2·popcount_j − m, so the signature is bit_j = [2·ones_j > m], with
+    ones_j computed for every doc at once by a prefix-sum over the flat
+    token-hash buffer (reduceat mis-handles empty docs — an empty
+    segment returns a[idx] instead of 0 — hence cumsum differencing).
+    Empty/whitespace-only docs vote nowhere and get sig 0. The
+    plain-Python spec mirrors this math (refspec_dataprep
+    simhash_kernel); bit-equality asserted in tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_tool_spark.dataprep import _minhash_kernel as mk
+
+    id_type = dict(zip(docs.schema.names, docs.schema.fields))[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sig bigint"
+    sel = docs.select(id_col, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sel = ensure_parallelism_floor(sel, par, min_bytes=32 << 20)
+    U64 = np.uint64
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            ndocs = batch.num_rows
+            if ndocs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.int64())], names=[id_col, "sig"]
+                )
+                continue
+            got = mk.ascii_token_hashes(batch.column(text_col))
+            if got is None:
+                got = mk.fallback_token_hashes(batch.column(text_col))
+            th_all, m_arr = got
+            offs = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(m_arr, out=offs[1:])
+            sig = np.zeros(ndocs, dtype=np.uint64)
+            c = np.empty(th_all.size + 1, dtype=np.int64)
+            for j in range(64):
+                c[0] = 0
+                np.cumsum(((th_all >> U64(j)) & U64(1)).astype(np.int64), out=c[1:])
+                ones = c[offs[1:]] - c[offs[:-1]]
+                sig |= (2 * ones > m_arr).astype(np.uint64) << U64(j)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig.view(np.int64), type=pa.int64())],
+                names=[id_col, "sig"],
+            )
+
+    return sel.mapInArrow(fn, out_schema)
+
+
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "sig") -> DataFrame:
     """Add a Charikar 64-bit simhash column (signed long). Two
     projections: the per-bit vote fold, then the bit assembly — kept as
@@ -453,21 +510,32 @@ def _sig_from_votes(votes: Column) -> Column:
 
 
 def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, max_bucket: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs with hamming(sig_a, sig_b) ≤ max_hamming.
     Candidates via 16-bit chunk equality (4 chunks; hamming ≤ 3 over 64
-    bits ⇒ at least one chunk identical — pigeonhole-complete)."""
+    bits ⇒ at least one chunk identical — pigeonhole-complete).
+
+    engine='arrow' (default): numpy popcount-vote kernel, the spec-
+    mirrored production path. engine='expr': the pure-JVM xxhash64
+    64-lane vote expression (with_simhash) — different engine-internal
+    base hash, same pairing semantics; kept as the zero-Python face."""
     from pyspark import StorageLevel
 
     # the chunked frame feeds a self-join (2 sides) plus the star-pair
-    # branch: persist the narrow (doc_id, sig) frame so the 64-lane
-    # vote expression — the expensive part — runs once per doc, not 3×
-    sigs = (
-        with_simhash(docs.select("doc_id", text_col), text_col)
-        .select("doc_id", "sig")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # branch: persist the narrow (doc_id, sig) frame so the signature
+    # stage — the expensive part — runs once per doc, not 3×
+    if engine == "arrow":
+        sigs = simhash_signatures_arrow(docs.select("doc_id", text_col), text_col)
+    else:
+        sigs = with_simhash(docs.select("doc_id", text_col), text_col).select(
+            "doc_id", "sig"
+        )
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     chunked = sigs.select(
         "doc_id",
         "sig",

@@ -280,11 +280,27 @@ def simhash(text: str) -> int:
     return signed64(sig)
 
 
+def simhash_kernel(text: str) -> int:
+    """Mirror of dedup.simhash_signatures_arrow (the r4 production
+    path): Charikar votes over the minhash kernel's polynomial token
+    hashes — bit_j = [2·ones_j > m]. Empty/whitespace docs vote
+    nowhere: sig 0."""
+    th = [_token_hash(w) for w in _kernel_tokens(text)]
+    m = len(th)
+    sig = 0
+    for j in range(64):
+        ones = sum((h >> j) & 1 for h in th)
+        if 2 * ones > m:
+            sig |= 1 << j
+    return signed64(sig)
+
+
 def simhash_pairs(
     docs: list[tuple[int, str]], max_hamming: int = 3, max_bucket: int = 64
 ) -> list[tuple[int, int, int]]:
-    """Mirror of dedup.simhash_pairs: (id_a, id_b, hamming) sorted."""
-    sigs = {i: simhash(t) for i, t in docs}
+    """Mirror of dedup.simhash_pairs (arrow engine): (id_a, id_b,
+    hamming) sorted."""
+    sigs = {i: simhash_kernel(t) for i, t in docs}
 
     def u64(x: int) -> int:
         return x & _M
