@@ -118,28 +118,22 @@ def minhash_signatures_arrow(
 
     The 32 universal-hash min-folds as JVM HOF expressions cost ~40 ms
     of core time per document (BENCH_r01 outlier); the r2 Arrow stage
-    cut that to ~1 ms/doc but still ran hashlib.md5 once per shingle
-    in a Python loop — the suite's remaining hot spot (VERDICT r2 next
-    #4). Now the base hash is fully vectorized numpy:
-
-    1. all token bytes in the batch are concatenated once; per-token
-       64-bit hashes come from a rolling polynomial over the buffer
-       (prefix sums of byte·p^i, re-based per token by multiplying
-       with p^-start — p is odd, hence invertible mod 2^64), finished
-       with a splitmix64 mix;
-    2. shingle hashes combine k consecutive token hashes with fixed
-       odd multipliers via array slicing (no shingle strings are ever
-       built), deduped with np.unique;
-    3. the (a·x+b) mod P min-fold over a (lanes × shingles) matrix is
-       unchanged.
+    cut that to ~1 ms/doc via a half-Python kernel; since r4 there is
+    ZERO per-doc Python on the hot path: tokenization + shingle hashing
+    come from the shared kernel (_minhash_kernel.batch_shingle_hashes —
+    Arrow-buffer ASCII fast path, Python-string fallback on high
+    bytes), and the (a·x+b) mod P min-fold runs as one segmented
+    np.minimum.reduceat over the flat shingle buffer (duplicate
+    shingles can't change a min, so no per-doc unique is needed). The
+    output list column is built straight from buffers, no tolist.
 
     Tokenization matches normalize_text()'s Java `\\s+` exactly: the
     split class is the ASCII whitespace set (Python str.split() would
     ALSO split Unicode whitespace like NBSP, diverging from the expr
-    engine and the exact-Jaccard verify on real web text). The base
-    hash differs from the expression variant (polynomial vs xxhash64)
-    and from r2 (md5) — engine-internal and irrelevant to LSH behavior;
-    both deterministic across runs/partitionings (J5).
+    engine and the Jaccard verify on real web text). The base hash
+    differs from the expression variant (polynomial vs xxhash64) —
+    engine-internal and irrelevant to LSH behavior; both deterministic
+    across runs/partitionings (J5).
     """
     import numpy as np
     import pyarrow as pa
