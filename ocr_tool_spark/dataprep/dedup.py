@@ -602,3 +602,97 @@ def adjacent_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(jaccard(F.col("a.w"), F.col("b.w")), 6).alias("jac_next"),
         )
     )
+
+
+# --------------------------------------------- components / survivors
+
+
+def pair_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) — connected components of the near-dup pair
+    graph, component = min doc_id reachable. Near-duplicate relations
+    are NOT transitive pairwise (A~B, B~C needn't make A~C), but a
+    dedup keep-list must treat them as one group or survivors remain
+    mutual near-dups; this is the pairs→clusters step every at-scale
+    dedup pipeline runs after LSH.
+
+    Algorithm: min-label propagation to fixpoint — per round each node
+    takes the min label among itself and its neighbors (one join + one
+    groupBy per round, both on the edge key), converging in O(graph
+    diameter) rounds; star-capped buckets (_banded_pairs) keep
+    diameters ~2, so real corpora converge in a handful of rounds.
+    Each round persists its label frame and localCheckpoints every few
+    rounds to truncate lineage — the standard Spark iterative-graph
+    discipline (GraphX/GraphFrames CC is this same loop). The driver
+    sees only a scalar per round (the convergence count): no vector or
+    label data is ever collected."""
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    handles = [edges, labels]
+    for it in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nc"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if it % 4 == 3:  # truncate the join-chain lineage periodically
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        handles.append(new_labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", "component")
+    out._ocr_persisted = handles  # noqa: SLF001 — see release_intermediates
+    return out
+
+
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, keep, canonical_id): the end-to-end dedup decision —
+    canonical_id = min doc_id of the doc's near-dup component (itself
+    when unpaired), keep = doc_id == canonical_id. One left join of the
+    corpus against the (candidate-sized) component frame; untouched
+    docs never enter the iteration."""
+    comp = pair_components(pairs)
+    out = (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["doc_id"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce(F.col("component"), docs[id_col]).alias("canonical_id"),
+        )
+        .withColumn("keep", (F.col(id_col) == F.col("canonical_id")).cast("int"))
+    )
+    out._ocr_persisted = getattr(comp, "_ocr_persisted", [])  # noqa: SLF001
+    return out

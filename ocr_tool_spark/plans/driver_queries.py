@@ -1573,6 +1573,44 @@ def q_frame_sample(spark, sf):  # 50-key window; locally oracle-gated
     )
 
 
+@functools.lru_cache(maxsize=2)
+def _components_oracle_sql_for(sf_dir: str) -> str:
+    spec = _refspec_dataprep()
+    pairs = [
+        (a, b) for a, b, _ in spec.minhash_pairs(_dataprep_replay_docs(sf_dir), threshold=0.6)
+    ]
+    rows = [f"({i},{c})" for i, c in spec.pair_components(pairs)]
+    return _values_oracle(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component",
+        "t(doc_id, component)",
+    )
+
+
+def _components_oracle_sql() -> str:
+    """Generated VALUES oracle for the pairs→clusters step: union-find
+    (an INDEPENDENT algorithm) over the spec's replayed minhash pairs
+    must equal the engine's min-label-propagation components."""
+    return _components_oracle_sql_for(_replay_sf_dir())
+
+
+@q("q_dedup_components", _components_oracle_sql)  # registered PAST the
+def q_dedup_components(spark, sf):  # 50-key window; locally oracle-gated
+    """K-family completion: connected components over the minhash
+    near-dup pair graph (pairs→clusters→canonical survivor — the step
+    a keep-list needs because near-dup relations aren't transitive).
+    Engine: iterative min-label propagation (dedup.pair_components);
+    oracle: path-compressed union-find in the plain-Python spec — two
+    independent algorithms agreeing on the same input."""
+    from ocr_tool_spark.dataprep.dedup import minhash_lsh_pairs, pair_components
+
+    pairs = minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
+    return pair_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @q("q_snapshot_time_travel")  # rows-only, registered PAST the driver's
 def q_snapshot_time_travel(spark, sf):  # 50-key window (pytest-gated)
     """A1/A2 snapshot-read of the local Iceberg-emulating adapter: two

@@ -392,3 +392,32 @@ def lsh_topk(
     scored = [(i, spark_round(cosine(vid[i], q), 6)) for i in cand]
     scored.sort(key=lambda r: (-r[1], r[0]))
     return scored[:k]
+
+
+# ---------------------------------------------------------- components
+
+
+def pair_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Mirror of dedup.pair_components via union-find: (doc_id,
+    component=min reachable id), sorted by doc_id. An independent
+    algorithm (path-compressed union-find vs the engine's min-label
+    propagation) — agreement is a real differential check, not a
+    replay of the same code."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return sorted((x, find(x)) for x in parent)

@@ -457,6 +457,50 @@ def test_near_dup_lsh_blocking_recall_vs_label_blocking(spark):
         assert a < b
 
 
+def test_pair_components_transitive_closure(spark):
+    """Near-dup pairs aren't transitive; the component step must close
+    them: chains (1-2, 2-3), stars, singleton edges, and two disjoint
+    clusters all resolve to min-id components."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)]
+    p = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.component for r in dedup.pair_components(p).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pair_components_matches_union_find_spec(spark, sf_dir_mid):
+    """Engine min-label propagation == spec union-find (independent
+    algorithms) on the real planted minhash pair graph."""
+    import pyarrow.parquet as pq
+
+    import refspec_dataprep as spec
+
+    t = pq.read_table(f"{sf_dir_mid}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    docs += [(i + 1000000, s) for i, s in docs if i % 10 == 0]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs_df = dedup.minhash_lsh_pairs(d, threshold=0.6)
+    got = sorted(
+        (r.doc_id, r.component) for r in dedup.pair_components(pairs_df).collect()
+    )
+    rpairs = [(a, b) for a, b, _ in spec.minhash_pairs(docs, threshold=0.6)]
+    assert got == spec.pair_components(rpairs)
+
+
+def test_dedup_keep_list_marks_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    got = {
+        r.doc_id: (r.keep, r.canonical_id)
+        for r in dedup.dedup_keep_list(docs, pairs).collect()
+    }
+    assert got == {
+        0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (1, 3),
+        4: (1, 4), 5: (0, 1), 6: (1, 6), 7: (0, 6),
+    }
+
+
 def test_release_intermediates_unpersists_lsh_caches(spark):
     """ADVICE r3: the multi-consumer caches minhash/simhash pin must be
     caller-releasable so a long-lived session doesn't accumulate
