@@ -48,6 +48,13 @@ def build_session(
         # default 10k rows would be ~5 GB per worker. Text-only batches
         # just get more (cheap) batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # let AQE re-coalesce the output partitioning of CACHED plans:
+        # the LSH dedup paths persist candidate-sized frames, and with
+        # the default (false) every persist materializes at the full
+        # shuffle-partition count — measured 64-128 near-empty tasks
+        # per stage at sf0.1, ~0.5 s of pure scheduling per query. At
+        # cluster scale AQE sizes those stages by bytes either way.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
