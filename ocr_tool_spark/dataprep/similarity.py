@@ -18,6 +18,7 @@ bounds any single bucket's share of probes.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -451,17 +452,32 @@ def near_dup_pairs(
                 F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
             ).alias("tbl", "blk"),
         )
+    # norm ONCE per member row, not twice per candidate pair: the
+    # withColumn is a projection barrier, and cos = dot/(_na*_nb) is
+    # the exact expression cosine() builds — same values, same IEEE
+    # fold, so the round(,6) oracle face is unchanged while ~2/3 of
+    # the per-pair HOF work disappears (the pair count dwarfs the
+    # member count in every blocked self-join).
+    e = e.withColumn("_nv", norm(F.col("v")))
     # star-pairing needs each member's vector alongside the
-    # representative's, so the rep is carried as a (id, v) struct —
-    # ordering compares id first and ids are unique, so min() picks the
-    # min-id member (the simhash_pairs pattern)
+    # representative's, so the rep is carried as a (id, v, _nv)
+    # struct — ordering compares id first and ids are unique, so
+    # min() picks the min-id member (the simhash_pairs pattern)
     w = Window.partitionBy("tbl", "blk")
     ann = (
         e.withColumn("_n", F.count("*").over(w))
-        .withColumn("_rep", F.min(F.struct("id", "v")).over(w))
+        .withColumn("_rep", F.min(F.struct("id", "v", "_nv")).over(w))
         .filter(F.col("_n") > 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    small = ann.filter(F.col("_n") <= max_bucket).select("tbl", "blk", "id", "v")
+    # three consumers (both self-join sides + big_pairs) would re-run
+    # the SRP signature stage + window 3x without the persist; the
+    # frame is multi-member bucket rows only, spill-safe, and released
+    # by the caller via release_intermediates (ADVICE r3 pattern)
+    def _cos(av, an, bv, bn):
+        return F.round(dot(av, bv) / (an * bn), 6)
+
+    small = ann.filter(F.col("_n") <= max_bucket).select("tbl", "blk", "id", "v", "_nv")
     a, b = small.alias("a"), small.alias("b")
     small_pairs = (
         a.join(b, ["tbl", "blk"])
@@ -469,7 +485,7 @@ def near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            _cos(F.col("a.v"), F.col("a._nv"), F.col("b.v"), F.col("b._nv")).alias("cos_sim"),
         )
     )
     # rep has the bucket-min id, so id_a < id_b holds by construction
@@ -478,14 +494,16 @@ def near_dup_pairs(
         .select(
             F.col("_rep.id").alias("id_a"),
             F.col("id").alias("id_b"),
-            F.round(cosine(F.col("_rep.v"), F.col("v")), 6).alias("cos_sim"),
+            _cos(F.col("_rep.v"), F.col("_rep._nv"), F.col("v"), F.col("_nv")).alias("cos_sim"),
         )
     )
-    return (
+    out = (
         small_pairs.unionByName(big_pairs)
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+    out._ocr_persisted = [ann]  # noqa: SLF001 — release_intermediates
+    return out
 
 
 def topk_per_query(
