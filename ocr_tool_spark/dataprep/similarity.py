@@ -47,6 +47,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, na: Column, b: Column, nb: Column) -> Column:
+    """cosine() with the norms precomputed on each side's row instead
+    of inside the pair expression. dot/(na*nb) is the exact expression
+    cosine() builds, so values (and the round(,6) oracle faces) are
+    bit-identical — but a norm is evaluated once per ROW rather than
+    once per PAIR, which is the difference between O(rows) and
+    O(candidates) HOF work in every join-shaped scorer."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -59,7 +69,7 @@ def brute_topk(
     1000-executor cluster wants for single-probe lookups."""
     q = F.broadcast(
         embeddings.filter(F.col(id_col) == query_vec_id).select(
-            F.col(vec_col).alias("_qv")
+            F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn")
         )
     )
     return (
@@ -67,7 +77,12 @@ def brute_topk(
         .crossJoin(q)
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), norm(F.col(vec_col)), F.col("_qv"), F.col("_qn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
@@ -187,6 +202,7 @@ def lsh_topk(
     q = F.broadcast(
         qrow.select(
             F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
             *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(n_tables)],
         )
     )
@@ -200,7 +216,12 @@ def lsh_topk(
         .filter(match_any)
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), norm(F.col(vec_col)), F.col("_qv"), F.col("_qn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
@@ -318,7 +339,9 @@ def ivf_search(
     table whose id space is unrelated to corpus ids (an id collision
     would otherwise silently drop a legitimate neighbor)."""
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     wc = Window.partitionBy("qid").orderBy("l2", "cell")
     cells = (
@@ -326,6 +349,7 @@ def ivf_search(
         .select(
             "qid",
             "_qv",
+            "_qn",
             "cell",
             F.aggregate(
                 F.zip_with(_f8("_qv"), "centroid", lambda x, y: (x - y) * (x - y)),
@@ -335,7 +359,7 @@ def ivf_search(
         )
         .withColumn("_rn", F.row_number().over(wc))
         .filter(F.col("_rn") <= nprobe)
-        .select("qid", "_qv", F.col("cell").alias("_cell"))
+        .select("qid", "_qv", "_qn", F.col("cell").alias("_cell"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), id_col)
     cand = assigned.join(F.broadcast(cells), "_cell")
@@ -346,7 +370,12 @@ def ivf_search(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), norm(F.col(vec_col)), F.col("_qv"), F.col("_qn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -475,7 +504,7 @@ def near_dup_pairs(
     # frame is multi-member bucket rows only, spill-safe, and released
     # by the caller via release_intermediates (ADVICE r3 pattern)
     def _cos(av, an, bv, bn):
-        return F.round(dot(av, bv) / (an * bn), 6)
+        return F.round(cosine_with_norms(av, an, bv, bn), 6)
 
     small = ann.filter(F.col("_n") <= max_bucket).select("tbl", "blk", "id", "v", "_nv")
     a, b = small.alias("a"), small.alias("b")
@@ -517,10 +546,16 @@ def topk_per_query(
     """Batch k-NN: top-k corpus neighbors for every query row, blocked —
     join + window top-k, the shuffle-bounded shape for query *tables*."""
     qd = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.col(block_col).alias("blk"),
     )
     cd = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        F.col(block_col).alias("blk"),
     )
     scored = (
         qd.join(cd, "blk")
@@ -528,7 +563,9 @@ def topk_per_query(
         .select(
             "qid",
             "cid",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
