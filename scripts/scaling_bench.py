@@ -212,16 +212,28 @@ def main() -> None:
     corpus = ensure_corpus(args.docs)
 
     def run_worker(cores: int, runs: int) -> dict:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker-cores", str(cores),
-             "--corpus", corpus, "--salt", str(args.salt),
-             "--worker-runs", str(runs)],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        print(line)
-        return json.loads(line)
+        # one retry: a long matrix run shouldn't die to a transient
+        # worker failure (JVM startup races on a loaded host have been
+        # observed exactly once per ~5 sequential fresh-JVM visits);
+        # the failing worker's stderr tail is surfaced either way
+        last_err = None
+        for attempt in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-cores", str(cores),
+                 "--corpus", corpus, "--salt", str(args.salt),
+                 "--worker-runs", str(runs)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            if out.returncode == 0:
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                print(line)
+                return json.loads(line)
+            last_err = out.stderr[-4000:]
+            print(f"worker cores={cores} attempt {attempt} failed "
+                  f"(exit {out.returncode}); stderr tail:\n{last_err}",
+                  file=sys.stderr, flush=True)
+        raise RuntimeError(f"worker cores={cores} failed twice; last stderr:\n{last_err}")
 
     results = {}
     if args.rounds <= 1:
