@@ -118,6 +118,12 @@ def worker(corpus: str, cores: int, salt: int, runs: int = 4) -> None:
     from ocr_tool_spark.session import build_session
 
     event_dir = tempfile.mkdtemp(prefix=f"scale-ev-{cores}-")
+    # Heap scales WITH cores (1 GiB/core, 8 GiB floor): a 4N-executor
+    # cluster brings 4N× total memory, so the local stand-in must too —
+    # a fixed 8 GiB heap OOMs the 32-thread worker at 300k heavy docs
+    # and GC-starves it 4× per-core vs the 8-thread config, polluting
+    # exactly the pair efficiency this harness exists to measure.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g")
     spark = build_session(
         app_name=f"scale-bench-{cores}",
         cores=cores,
