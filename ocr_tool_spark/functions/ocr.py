@@ -38,14 +38,17 @@ from ocr_tool_spark.functions.glyphs import TEMPLATES, trimmed_pattern
 from ocr_tool_spark.sources.schemas import OCR_RESULT
 
 
-def _runs(mask: np.ndarray) -> np.ndarray:
-    """Maximal [start, end) runs where boolean mask is True, as an
-    (n, 2) int array — vectorized via edge detection."""
+def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Maximal [start, end) runs where boolean mask is True, as a
+    (starts, ends) array pair — vectorized via edge detection. Returned
+    unstacked: the masks here are tiny (one line band / one leaf edge),
+    so the np.stack previously spent more time assembling the (n, 2)
+    array than the edge detection itself."""
     padded = np.empty(mask.size + 2, dtype=np.int8)
     padded[0] = padded[-1] = 0
     padded[1:-1] = mask
-    d = np.diff(padded)
-    return np.stack([np.flatnonzero(d == 1), np.flatnonzero(d == -1)], axis=1)
+    d = padded[1:] - padded[:-1]
+    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
 
 
 def segment_page(page: np.ndarray) -> list[tuple[int, int, int, int]]:
@@ -66,21 +69,30 @@ def segment_page(page: np.ndarray) -> list[tuple[int, int, int, int]]:
         xs = np.flatnonzero(cols)
         y0, y1, x0, x1 = y0 + ys[0], y0 + ys[-1] + 1, x0 + xs[0], x0 + xs[-1] + 1
         sub = ink[y0:y1, x0:x1]
-        col_gaps = _runs(~sub.any(axis=0))
-        row_gaps = _runs(~sub.any(axis=1))
-        col_gaps = col_gaps[(col_gaps[:, 1] - col_gaps[:, 0]) >= MIN_GAP_X]
-        row_gaps = row_gaps[(row_gaps[:, 1] - row_gaps[:, 0]) >= MIN_GAP_Y]
-        x_max = int((col_gaps[:, 1] - col_gaps[:, 0]).max()) if len(col_gaps) else 0
-        y_max = int((row_gaps[:, 1] - row_gaps[:, 0]).max()) if len(row_gaps) else 0
+        cg_s, cg_e = _runs(~sub.any(axis=0))
+        rg_s, rg_e = _runs(~sub.any(axis=1))
+        cg_len = cg_e - cg_s
+        rg_len = rg_e - rg_s
+        ck = cg_len >= MIN_GAP_X
+        rk = rg_len >= MIN_GAP_Y
+        x_max = int(cg_len[ck].max()) if ck.any() else 0
+        y_max = int(rg_len[rk].max()) if rk.any() else 0
         if x_max == 0 and y_max == 0:
             leaves.append((int(y0), int(y1), int(x0), int(x1)))
             continue
         if x_max >= y_max:
-            bounds = np.concatenate([[0], col_gaps.ravel(), [x1 - x0]]) + x0
+            # interleave kept gap starts/ends into flat cut bounds
+            gaps = np.empty(2 * int(ck.sum()), dtype=cg_s.dtype)
+            gaps[0::2] = cg_s[ck]
+            gaps[1::2] = cg_e[ck]
+            bounds = np.concatenate([[0], gaps, [x1 - x0]]) + x0
             segs = bounds.reshape(-1, 2)
             stack.extend((y0, y1, int(s), int(e)) for s, e in segs if e > s)
         else:
-            bounds = np.concatenate([[0], row_gaps.ravel(), [y1 - y0]]) + y0
+            gaps = np.empty(2 * int(rk.sum()), dtype=rg_s.dtype)
+            gaps[0::2] = rg_s[rk]
+            gaps[1::2] = rg_e[rk]
+            bounds = np.concatenate([[0], gaps, [y1 - y0]]) + y0
             segs = bounds.reshape(-1, 2)
             stack.extend((int(s), int(e), x0, x1) for s, e in segs if e > s)
     return leaves
@@ -132,11 +144,13 @@ def read_block(page: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
     y0, y1, x0, x1 = bbox
     crop = page[y0:y1, x0:x1] > 0
     lines: list[str] = []
-    for ls, le in _runs(crop.any(axis=1)):
+    l_s, l_e = _runs(crop.any(axis=1))
+    for ls, le in zip(l_s.tolist(), l_e.tolist()):
         band = crop[ls:le]
         chars: list[str] = []
         prev_end = -1
-        for cs, ce in _runs(band.any(axis=0)):
+        c_s, c_e = _runs(band.any(axis=0))
+        for cs, ce in zip(c_s.tolist(), c_e.tolist()):
             if prev_end >= 0 and cs - prev_end >= SPACE_GAP and chars:
                 chars.append(" ")
             ch = _char_of(band[:, cs:ce])
