@@ -90,3 +90,45 @@ def test_segmentation_primitives_agree():
             eng = eocr.order_blocks(eocr.segment_page(pages[p]))
             ref = refspec.reading_order(refspec.xycut(pages[p]))
             assert eng == [tuple(b) for b in ref]
+
+def test_collapse_matches_regex_spec():
+    """The r4 fast `_collapse` (memchr replaces + split/join) must stay
+    bit-equal to the regex it replaced — including \x1c-\x1f (str
+    whitespace but NOT in the [ \t\n\r\f\v] class) and Unicode
+    whitespace, which BOTH versions leave untouched."""
+    import re
+
+    spec = re.compile(r"[ \t\n\r\f\v]+")
+
+    def collapse_spec(s: str) -> str:
+        return spec.sub(" ", s).strip(" ")
+
+    rng = random.Random(13)
+    alpha = " \t\n\r\f\v\x1c\x1d\x1e\x1f\xa0 　ab&<>é"
+    for _ in range(20000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+        assert ehtml._collapse(s) == collapse_spec(s), repr(s)
+
+
+def test_runs_matches_naive_scan():
+    """Unstacked `_runs` edge detection vs a naive Python scan."""
+
+    def runs_naive(mask):
+        out, start = [], None
+        for i, v in enumerate(mask):
+            if v and start is None:
+                start = i
+            elif not v and start is not None:
+                out.append((start, i))
+                start = None
+        if start is not None:
+            out.append((start, len(mask)))
+        return out
+
+    rng = random.Random(5)
+    for _ in range(500):
+        mask = np.array(
+            [rng.random() < 0.4 for _ in range(rng.randrange(0, 40))], dtype=bool
+        )
+        s, e = eocr._runs(mask)
+        assert list(zip(s.tolist(), e.tolist())) == runs_naive(mask.tolist())
