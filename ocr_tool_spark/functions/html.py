@@ -89,6 +89,22 @@ def _collapse(s: str) -> str:
     return s.strip(" ")
 
 
+# raw (case-preserved) tag name -> (is_block, is_boiler, is_br, is_a):
+# real corpora reuse a few dozen spellings, so one dict hit replaces a
+# lower() allocation plus up to four set probes per tag token. Bounded
+# against adversarial unique-name streams.
+_TAG_INFO: dict[str, tuple[bool, bool, bool, bool]] = {}
+_TAG_INFO_MAX = 4096
+
+
+def _classify_tag(raw: str) -> tuple[bool, bool, bool, bool]:
+    n = raw.lower()
+    info = (n in BLOCK_TAGS, n in BOILER_TAGS, n == "br", n == "a")
+    if len(_TAG_INFO) < _TAG_INFO_MAX:
+        _TAG_INFO[raw] = info
+    return info
+
+
 def dom_blocks(html: str | None) -> list[dict]:
     """One HTML string -> list of DOM_BLOCK dicts. Linear single pass
     over master-regex tokens; block-tag boundaries flush text blocks."""
@@ -122,6 +138,7 @@ def dom_blocks(html: str | None) -> list[dict]:
         n_tags = 0
 
     pos = 0
+    tag_info = _TAG_INFO  # local binding for the hot loop
     for m in _TOKEN.finditer(html):
         start = m.start()
         if start > pos:
@@ -133,25 +150,28 @@ def dom_blocks(html: str | None) -> list[dict]:
         name = m.group(2)  # _TOKEN group "name"
         if name is None:  # comment / script / style — skipped wholesale
             continue
-        name = name.lower()
+        info = tag_info.get(name)
+        if info is None:
+            info = _classify_tag(name)
+        is_block, is_boiler, is_br, is_a = info
         # the tag group starts at the match start, so the char after
         # '<' decides closing — no per-tag substring allocation
         closing = html[start + 1] == "/"
-        if name in BLOCK_TAGS:
+        if is_block:
             if plain:
                 flush()
             else:  # tag-only boundary: flush() would just reset
                 n_tags = 0
-            if name in BOILER_TAGS:
+            if is_boiler:
                 boiler_depth = max(boiler_depth + (-1 if closing else 1), 0)
         else:
             if not closing:
                 n_tags += 1
-                if name == "br":
+                if is_br:
                     plain.append("\n")
                     if link_depth > 0:
                         linked.append("\n")
-            if name == "a":
+            if is_a:
                 link_depth = max(link_depth + (-1 if closing else 1), 0)
     if pos < len(html):
         piece = _decode(html[pos:])

@@ -47,8 +47,12 @@ def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     padded = np.empty(mask.size + 2, dtype=np.int8)
     padded[0] = padded[-1] = 0
     padded[1:-1] = mask
-    d = padded[1:] - padded[:-1]
-    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+    # transitions strictly alternate rise, fall, rise, ... (the pad
+    # guarantees the first is a rise and the last a fall), so ONE
+    # flatnonzero over the change mask yields starts at even and ends
+    # at odd positions — and the [0::2]/[1::2] slices are views
+    idx = np.flatnonzero(padded[1:] != padded[:-1])
+    return idx[0::2], idx[1::2]
 
 
 def segment_page(page: np.ndarray) -> list[tuple[int, int, int, int]]:
