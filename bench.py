@@ -111,6 +111,7 @@ def main() -> None:
         "range_join": lambda: _run(q["q_range_join"](spark, sf_dir)),
         "dedup_minhash": lambda: _run(q["q_dedup_minhash"](spark, sf_dir)),
         "dedup_simhash": lambda: _run(q["q_dedup_simhash"](spark, sf_dir)),
+        "dedup_components": lambda: _run(q["q_dedup_components"](spark, sf_dir)),
         "knn_cosine": lambda: _run(q["q_knn_cosine"](spark, sf_dir)),
         "knn_lsh": lambda: _run(q["q_knn_lsh"](spark, sf_dir)),
         "knn_ivf": lambda: _run(q["q_knn_ivf"](spark, sf_dir)),

@@ -625,23 +625,24 @@ def pair_components(
     groupBy per round, both on the edge key), converging in O(graph
     diameter) rounds; star-capped buckets (_banded_pairs) keep
     diameters ~2, so real corpora converge in a handful of rounds.
-    Each round persists its label frame and localCheckpoints every few
-    rounds to truncate lineage — the standard Spark iterative-graph
-    discipline (GraphX/GraphFrames CC is this same loop). The driver
-    sees only a scalar per round (the convergence count): no vector or
-    label data is ever collected."""
-    from pyspark import StorageLevel
-
+    Each round localCheckpoints its label frame to truncate lineage —
+    the standard Spark iterative-graph discipline (GraphX/GraphFrames
+    CC is this same loop). The driver sees only a scalar per round
+    (the convergence count): no vector or label data is ever
+    collected."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # eager localCheckpoint: the edge list is tiny relative to the LSH
+    # plan that produced it, and WITHOUT truncation every later round
+    # re-ANALYZES the full candidate-generation lineage — measured 7 s
+    # of pure Catalyst compile per round at sf0.1 vs <1 s of execution
     edges = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     handles = [edges, labels]
     for it in range(max_iter):
         prop = (
@@ -649,6 +650,11 @@ def pair_components(
             .groupBy("src")
             .agg(F.min("component").alias("_nc"))
         )
+        # change detection rides the SAME projection (_moved flag): one
+        # sum-agg action per round both materializes the persisted label
+        # frame and reports convergence — the previous separate
+        # new-vs-old join doubled the per-round shuffle count and made
+        # the loop latency-bound on small graphs
         new_labels = (
             labels.join(prop, labels.doc_id == prop.src, "left")
             .select(
@@ -656,19 +662,18 @@ def pair_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("_nc"), F.col("component")) < F.col("component")
+                ).cast("int").alias("_moved"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # lazy localCheckpoint EVERY round (not periodic): the agg
+            # below materializes it, so the next round's plan starts
+            # from a leaf instead of re-analyzing the join chain
+            .localCheckpoint(eager=False)
         )
-        if it % 4 == 3:  # truncate the join-chain lineage periodically
-            new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("_moved")).collect()[0][0] or 0
         handles.append(new_labels)
-        labels = new_labels
+        labels = new_labels.drop("_moved")
         if changed == 0:
             break
     out = labels.select("doc_id", "component")
