@@ -467,6 +467,16 @@ def test_pair_components_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_pair_components_empty_pairs(spark):
+    """Zero near-dup pairs (a clean corpus) must yield zero component
+    rows — the checkpointed loop exits on its first convergence agg."""
+    p = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.pair_components(p).count() == 0
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    keep = dedup.dedup_keep_list(docs, p).collect()
+    assert all(r.keep == 1 and r.canonical_id == r.doc_id for r in keep)
+
+
 def test_pair_components_matches_union_find_spec(spark, sf_dir_mid):
     """Engine min-label propagation == spec union-find (independent
     algorithms) on the real planted minhash pair graph."""
