@@ -122,6 +122,14 @@ def main() -> None:
 
     # warm-up: JVM/codegen/Arrow path init on a trivial action
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ... plus ONE untimed pass of the heaviest extraction query: C2
+    # JIT of the codegen + Arrow serialization paths needs several
+    # passes over the real operators on a fresh VM (measured this
+    # host: 20s -> 10s -> 7s before steady state), and min-of-3 timed
+    # runs alone doesn't get there. A steady-state cluster never pays
+    # this; the warm-up keeps the timed rows measuring the plan.
+    spark.catalog.clearCache()
+    ext_mixed()
     # build the IVF index OUTSIDE the timed loop: the knn_ivf row
     # measures the probe path (the build-once/probe-many contract);
     # the persisted index survives clearCache (it is parquet, not a

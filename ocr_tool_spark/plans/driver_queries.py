@@ -1629,3 +1629,55 @@ def q_snapshot_time_travel(spark, sf):  # 50-key window (pytest-gated)
         spark.range(3).selectExpr("id + 100 AS k", "id AS v"), batch_id="b2"
     )
     return t.read(spark, snapshot_id=0).orderBy("k")
+
+
+@q(
+    "q_pack_shards",  # registered PAST the 50-key window; locally
+    # oracle-gated by tests/test_driver_queries.py against this SQL
+    "WITH base AS (SELECT doc_id, "
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket, "
+    f"len(string_split({_NORM}, ' '))::BIGINT AS n_tokens FROM documents) "
+    "SELECT doc_id, bucket, n_tokens, "
+    # SUM(BIGINT) is HUGEINT in DuckDB: cast back for dtype parity
+    "CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) // 2048 AS shard_id, "
+    "CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS shard_offset_tokens "
+    "FROM base WINDOW w AS (ORDER BY bucket, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)",
+)
+def q_pack_shards(spark, sf):
+    """K18 training-shard assignment: greedy sequence packing over the
+    deterministic global order (bucket, doc_id), ~2048 whitespace
+    tokens per shard. The oracle runs the textbook SINGLE global
+    window (a one-task bottleneck at scale); the engine computes the
+    identical prefix sum two-level — per-bucket windows in parallel
+    plus a broadcast ≤256-row bucket-offset table — and must agree
+    bit-for-bit (dataprep/packing.py)."""
+    from ocr_tool_spark.dataprep.packing import pack_shards
+
+    return pack_shards(load_table(spark, sf, "documents"), budget=2048)
+
+
+@q(
+    "q_stratified_sample",  # registered PAST the 50-key window;
+    # locally oracle-gated by tests/test_driver_queries.py
+    "SELECT doc_id, lang FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    "CASE lang WHEN 'de' THEN 'g' WHEN 'en' THEN '8000' "
+    "WHEN 'zh' THEN '4000' ELSE '1000' END",
+)
+def q_stratified_sample(spark, sf):
+    """K19 stratified sampling: deterministic per-language hash-band
+    downsampling (keep iff the first 4 hex of md5(doc_id) sit under
+    the stratum's cut — en 50%, zh 25%, de keep-all, default 1/16).
+    No RNG state, no shuffle: the SAME doc set is kept by any engine,
+    any run, any partitioning (dataprep/packing.py). The CASE cuts in
+    the oracle are the same band literals the engine derives from the
+    rate map."""
+    from ocr_tool_spark.dataprep.packing import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf, "documents"),
+        rates={"en": 0.5, "zh": 0.25, "de": 1.0},
+        stratum_col="lang",
+        default_rate=1.0 / 16,
+    )
