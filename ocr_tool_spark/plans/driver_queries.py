@@ -1681,3 +1681,33 @@ def q_stratified_sample(spark, sf):
         stratum_col="lang",
         default_rate=1.0 / 16,
     )
+
+
+@q(
+    "q_decontam",  # registered PAST the 50-key window; locally
+    # oracle-gated by tests/test_driver_queries.py
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM}, ' ') AS w FROM documents), "
+    # i ranges 1..len(w)-7 (range() is end-exclusive); w[i:i+7] is the
+    # 8-word gram, matching Spark's sequence(1, size-7) + slice(t,i,8)
+    "g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram "
+    "FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)), "
+    "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+    "c AS (SELECT g.doc_id, count(*)::BIGINT AS n_shared_grams "
+    "FROM g JOIN ev USING (gram) GROUP BY g.doc_id) "
+    "SELECT d.doc_id, COALESCE(c.n_shared_grams, 0)::BIGINT AS n_shared_grams, "
+    "(COALESCE(c.n_shared_grams, 0) > 0)::INT AS contaminated "
+    "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id",
+)
+def q_decontam(spark, sf):
+    """K20 benchmark decontamination: per-doc count of distinct 8-word
+    grams shared with an eval set (here: the deterministic doc_id%97
+    slice of the corpus, so the eval docs themselves and their planted
+    near-dups must flag). Engine: ONE corpus scan + a broadcast
+    eval-gram array intersect — zero corpus shuffle; oracle: the
+    textbook explode + join + group formulation. Same answer, two
+    different plans (dataprep/decontam.py)."""
+    from ocr_tool_spark.dataprep.decontam import contamination
+
+    docs = load_table(spark, sf, "documents")
+    return contamination(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)

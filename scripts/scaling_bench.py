@@ -194,6 +194,42 @@ def calibrate(core_counts: list[int]) -> dict[int, float]:
     return rates
 
 
+def _memspin(passes: int) -> float:
+    """One worker's share of the bandwidth probe: stream a 64 MB
+    float64 array (far beyond LLC) read+write per pass."""
+    import numpy as np
+
+    a = np.ones(8_388_608, dtype=np.float64)  # 64 MB
+    for _ in range(passes):
+        a += 1.0
+    return float(a[0])
+
+
+def calibrate_mem(core_counts: list[int]) -> dict[int, float]:
+    """Memory-BANDWIDTH ceiling (GB/s aggregate): the integer-spin
+    calibration is cache-resident and blind to the resource a
+    columnar data job actually saturates first. Each worker streams a
+    64 MB array (2 bytes moved per byte per pass: read+write); on a
+    host whose bandwidth saturates near 8 cores, the 32-proc rate
+    barely moves — and THAT, not ALU throughput, bounds Arrow/parquet
+    pipeline scaling."""
+    import multiprocessing as mp
+
+    passes = 24
+    bytes_per_task = 2 * 8_388_608 * 8 * passes
+    rates = {}
+    for procs in core_counts:
+        best = None
+        for _ in range(3):
+            with mp.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                pool.map(_memspin, [passes] * procs)
+                dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rates[procs] = procs * bytes_per_task / best / 1e9
+    return rates
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50000)
@@ -261,12 +297,14 @@ def main() -> None:
             results[cores] = best
 
     hw = calibrate(core_counts)
+    hw_mem = calibrate_mem(core_counts)
 
-    def eff(lo: int, hi: int) -> tuple[float, float, float]:
+    def eff(lo: int, hi: int) -> tuple[float, float, float, float]:
         factor = hi / lo
         e = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / factor
         eh = (hw[hi] / hw[lo]) / factor
-        return round(e, 3), round(eh, 3), round(e / eh, 3)
+        em = (hw_mem[hi] / hw_mem[lo]) / factor
+        return round(e, 3), round(eh, 3), round(e / eh, 3), round(em, 3)
 
     pairs = [(core_counts[i], core_counts[j])
              for i in range(len(core_counts)) for j in range(len(core_counts))
@@ -280,6 +318,9 @@ def main() -> None:
             for c in core_counts
         },
         "hw_calibration_Mops": {str(c): round(hw[c], 1) for c in core_counts},
+        "hw_mem_bandwidth_GBps": {
+            str(c): round(hw_mem[c], 1) for c in core_counts
+        },
         "rounds": args.rounds,
         "round_docs_per_sec": {
             str(c): results[c].get("round_docs_per_sec") for c in core_counts
@@ -288,9 +329,10 @@ def main() -> None:
         "gate": ">= 0.8",
     }
     for lo, hi in pairs:
-        e, eh, rel = eff(lo, hi)
+        e, eh, rel, em = eff(lo, hi)
         summary["pairs"][f"{lo}->{hi}"] = {
             "efficiency": e, "hw_ceiling": eh, "relative_to_hw": rel,
+            "hw_mem_ceiling": em,
             "pass": e >= 0.8,
         }
     print(json.dumps(summary))
@@ -303,8 +345,8 @@ def main() -> None:
         "parallelism levels on the same staged parquet input — the sandbox",
         "stand-in for N vs 4N executor clusters (driver instruction; no real",
         "cluster available).\n",
-        "| config | wall sec | docs/sec | task-parallel utilization | hw calib (M int-ops/s) |",
-        "|---|---|---|---|---|",
+        "| config | wall sec | docs/sec | task-parallel utilization | hw calib (M int-ops/s) | hw mem-bw (GB/s) |",
+        "|---|---|---|---|---|---|",
     ]
     for c in core_counts:
         util = max(results[c].get("parallel_utilization") or [0])
@@ -314,7 +356,8 @@ def main() -> None:
                 str(v) for v in results[c]["round_docs_per_sec"]) + ")"
         lines.append(
             f"| local[{c}], shuffle={2*c} | {results[c]['sec']} | "
-            f"{results[c]['docs_per_sec']}{rounds_note} | {util} | {hw[c]:.0f} |"
+            f"{results[c]['docs_per_sec']}{rounds_note} | {util} | {hw[c]:.0f} | "
+            f"{hw_mem[c]:.1f} |"
         )
     lines.append("")
     if args.rounds > 1:
@@ -325,13 +368,14 @@ def main() -> None:
             "dominant noise on this shared machine, observed swinging single "
             "configs +/-30% — hits all configs of a pair with equal "
             "probability instead of silently biasing one side.\n")
-    lines.append("| N -> 4N pair | pipeline efficiency | pure-CPU hardware ceiling | pipeline / ceiling | gate >= 0.8 |")
-    lines.append("|---|---|---|---|---|")
+    lines.append("| N -> 4N pair | pipeline efficiency | pure-CPU hardware ceiling | pipeline / ceiling | mem-bw ceiling | gate >= 0.8 |")
+    lines.append("|---|---|---|---|---|---|")
     for lo, hi in pairs:
         p = summary["pairs"][f"{lo}->{hi}"]
         lines.append(
             f"| local[{lo}] -> local[{hi}] | {p['efficiency']} | {p['hw_ceiling']} | "
-            f"{p['relative_to_hw']} | {'PASS' if p['pass'] else 'see note'} |"
+            f"{p['relative_to_hw']} | {p['hw_mem_ceiling']} | "
+            f"{'PASS' if p['pass'] else 'see note'} |"
         )
     lines += [
         "",
@@ -343,14 +387,17 @@ def main() -> None:
         "cores idle (serial stages, skewed partitions, unsplit scans)",
         "shows it here directly.",
         "",
-        "**Hardware ceiling note**: the calibration row is a perfectly",
+        "**Hardware ceiling note**: the int-ops calibration is a perfectly",
         "balanced pure-Python integer spin via `multiprocessing` — no Spark,",
-        "no I/O, no shuffles. On this virtualized 32-vCPU host the 8->32",
-        "point itself only achieves the ceiling shown (host contention /",
-        "frequency scaling), so no job measured here can exceed it. The",
-        "pipeline's efficiency should therefore be read relative to the",
-        "ceiling (third column); the 2->8 pair runs below host saturation",
-        "and is the clean N->4N measurement on this machine.",
+        "no I/O, no shuffles — and the mem-bw calibration streams a 64 MB",
+        "float64 array per worker (read+write, far beyond LLC). A columnar",
+        "Arrow/parquet pipeline is bandwidth-bound long before it is",
+        "ALU-bound, so when the mem-bw column saturates between two configs,",
+        "that — not scheduling — is the binding ceiling for the pair. On a",
+        "real 4N-executor cluster every node brings its OWN memory",
+        "controllers (bandwidth scales with N); a single shared-memory host",
+        "cannot emulate that axis, which is exactly why the pair below host",
+        "saturation is the honest N->4N measurement on this machine.",
         "",
         "Reproduce: `python scripts/scaling_bench.py`",
     ]
