@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Dedup-at-scale rehearsal: run the full MinHash → LSH banding →
+capped pair generation → Jaccard verify → connected components →
+keep-list chain on a corpus 30-60× the driver's sf0.1 documents table,
+with PLANTED near-dup families whose recovery is checkable.
+
+The sf-scale driver gate proves the chain is CORRECT; this script
+measures that the same plan survives a scale jump — pair counts stay
+O(planted), no bucket goes quadratic, and wall time scales with the
+corpus, not with candidate blow-up. Writes one JSON line; optionally
+appends a section to BENCH/DEDUP_SCALE.md.
+
+Corpus (deterministic, seeded): `n_docs` docs of ~`words_per_doc`
+tokens drawn from a 4k-word vocabulary (unique docs are pairwise far
+below any Jaccard threshold). Every `family_every`-th doc gets 3
+planted near-copies at doc_id+{1,2,3}·10^7: each copy perturbs
+`edit_tokens` random positions (~2% of tokens), keeping shingle
+Jaccard ≈ 0.8-0.9 — solidly above the 0.6 threshold. Recall = the
+fraction of planted copies whose component contains their source.
+
+Parquet is written directly with pyarrow (never GB-scale Python lists
+through createDataFrame).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_corpus(path: str, n_docs: int, words_per_doc: int, family_every: int,
+               edit_tokens: int, seed: int = 7) -> int:
+    """Write the synthetic corpus parquet; returns total row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    ids, texts = [], []
+    writer = None
+    chunk = 20000
+    total = 0
+    for lo in range(0, n_docs, chunk):
+        hi = min(lo + chunk, n_docs)
+        toks = vocab[rng.integers(0, len(vocab), size=(hi - lo, words_per_doc))]
+        c_ids, c_txt = [], []
+        for i, row in enumerate(toks):
+            doc_id = lo + i
+            c_ids.append(doc_id)
+            c_txt.append(" ".join(row))
+            if doc_id % family_every == 0:
+                for k in range(1, 4):
+                    edited = row.copy()
+                    pos = rng.integers(0, words_per_doc, size=edit_tokens)
+                    edited[pos] = vocab[rng.integers(0, len(vocab), size=edit_tokens)]
+                    c_ids.append(doc_id + k * 10_000_000)
+                    c_txt.append(" ".join(edited))
+        tbl = pa.table({"doc_id": pa.array(c_ids, pa.int64()),
+                        "text": pa.array(c_txt, pa.string())})
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl)
+        total += len(c_ids)
+    if writer:
+        writer.close()
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=150000)
+    ap.add_argument("--words", type=int, default=120)
+    ap.add_argument("--family-every", type=int, default=100)
+    ap.add_argument("--edit-tokens", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--threshold", type=float, default=0.6)
+    args = ap.parse_args()
+
+    corpus = (f"/tmp/ocr_dedup_scale_{args.docs}_{args.words}_"
+              f"{args.family_every}_{args.edit_tokens}")
+    path = f"{corpus}/docs.parquet"
+    if not os.path.exists(path):
+        os.makedirs(corpus, exist_ok=True)
+        t0 = time.perf_counter()
+        total = gen_corpus(path, args.docs, args.words, args.family_every,
+                           args.edit_tokens)
+        print(f"generated {total} docs in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+    from ocr_tool_spark.dataprep import release_intermediates
+    from ocr_tool_spark.dataprep.dedup import dedup_keep_list, minhash_lsh_pairs
+    from ocr_tool_spark.session import build_session
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, args.cores)}g")
+    spark = build_session(app_name="dedup-scale", cores=args.cores,
+                          extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+    n = docs.count()
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+    keep = dedup_keep_list(docs, pairs)
+    # one action materializes the whole chain; driver pulls 3 scalars
+    from pyspark.sql import functions as F
+    agg = keep.agg(
+        F.count("*").alias("rows"),
+        F.sum("keep").alias("kept"),
+        F.sum((F.col("canonical_id") != F.col("doc_id")).cast("long")).alias("dropped"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+
+    # planted recall: each copy (id >= 10^7) must resolve to its source's
+    # component — i.e. canonical_id == source id (the family min)
+    fam = keep.filter(F.col("doc_id") >= 10_000_000).select(
+        "doc_id", "canonical_id",
+        (F.col("doc_id") % 10_000_000).alias("src"))
+    rec = fam.agg(
+        F.count("*").alias("copies"),
+        F.sum((F.col("canonical_id") == F.col("src")).cast("long")).alias("hit"),
+    ).collect()[0]
+    n_pairs = pairs.count()
+    release_intermediates(keep)
+
+    print(json.dumps({
+        "metric": "minhash dedup end-to-end at scale (sig + LSH + verify + components + keep-list)",
+        "docs": int(n), "cores": args.cores, "sec": round(wall, 2),
+        "docs_per_sec": round(n / wall, 1),
+        "verified_pairs": int(n_pairs),
+        "kept": int(agg["kept"]), "dropped": int(agg["dropped"]),
+        "planted_copies": int(rec["copies"]),
+        "planted_recall": round(rec["hit"] / rec["copies"], 4),
+        "pairs_per_doc": round(n_pairs / n, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
