@@ -120,6 +120,7 @@ def main() -> None:
         "text_quality": lambda: _run(q["q_text_quality"](spark, sf_dir)),
         "pack_shards": lambda: _run(q["q_pack_shards"](spark, sf_dir)),
         "decontam": lambda: _run(q["q_decontam"](spark, sf_dir)),
+        "curate": lambda: _run(q["q_curate"](spark, sf_dir)),
         "tpch_q1": lambda: _run(q["q_tpch_q1"](spark, sf_dir)),
         "tpch_q5": lambda: _run(q["q_tpch_q5"](spark, sf_dir)),
         "ext_text": ext_text,

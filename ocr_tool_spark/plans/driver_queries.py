@@ -1712,3 +1712,75 @@ def q_decontam(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return contamination(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
+
+
+@functools.lru_cache(maxsize=2)
+def _curate_oracle_sql_for(sf_dir: str) -> str:
+    import hashlib
+
+    spec = _refspec_dataprep()
+    docs = _dataprep_replay_docs(sf_dir)
+    # stage 1: near-dup keep-list (union-find over the spec's pair set)
+    pairs = [(a, b) for a, b, _ in spec.minhash_pairs(docs, threshold=0.6)]
+    drops = {d for d, c in spec.pair_components(pairs) if c != d}
+    survivors = [(i, t) for i, t in docs if i not in drops]
+
+    # stage 2: decontam vs the base-table doc_id % 97 slice (planted
+    # copy ids are base+10^6, so i < 10^6 selects exactly the base rows)
+    def grams(text: str) -> set[str]:
+        t = spec.tokens(text)
+        if len(t) < 8:
+            return set()
+        return {" ".join(t[j : j + 8]) for j in range(len(t) - 7)}
+
+    ev: set[str] = set()
+    for i, t in docs:
+        if i < 1_000_000 and i % 97 == 0:
+            ev |= grams(t)
+    clean = [(i, t) for i, t in survivors if not (grams(t) & ev)]
+
+    # stage 3: token-budget packing in (md5-bucket, doc_id) order
+    laid = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest()[:2], i, len(spec.tokens(t)))
+        for i, t in clean
+    )
+    rows, off = [], 0
+    for b, i, ntok in laid:
+        rows.append(f"({i},'{b}',{ntok},{off // 2048},{off})")
+        off += ntok
+    return _values_oracle(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(shard_id AS BIGINT) AS shard_id, "
+        "CAST(shard_offset_tokens AS BIGINT) AS shard_offset_tokens",
+        "t(doc_id, bucket, n_tokens, shard_id, shard_offset_tokens)",
+    )
+
+
+def _curate_oracle_sql() -> str:
+    """Generated VALUES oracle for K21: the full curation DAG replayed
+    by the plain-Python spec — spec.minhash_pairs + union-find for the
+    keep-list, set-algebra 8-gram decontam, hashlib-md5 bucket order +
+    a serial cumsum for packing. Three independent algorithms chained
+    on plain Python data structures vs three Spark plans chained on
+    DataFrames."""
+    return _curate_oracle_sql_for(_replay_sf_dir())
+
+
+@q("q_curate", _curate_oracle_sql)  # registered PAST the 50-key
+def q_curate(spark, sf):  # window; locally oracle-gated
+    """K21 end-to-end curation: near-dup dedup keep-list → benchmark
+    decontamination → token-budget shard packing as ONE composed Spark
+    plan (dataprep/curate.py). Corpus: the planted documents table
+    (every 10th doc has an exact copy at +10^6 — all must drop at the
+    dedup stage); eval set: the base doc_id % 97 slice (those docs
+    self-contaminate and must drop at the decontam stage); survivors
+    pack gap-free at budget 2048."""
+    from ocr_tool_spark.dataprep.curate import curate_corpus
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return curate_corpus(
+        _planted_docs(spark, sf), ev, threshold=0.6, n=8, budget=2048
+    )

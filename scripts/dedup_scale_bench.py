@@ -81,6 +81,14 @@ def main() -> None:
     ap.add_argument("--edit-tokens", type=int, default=3)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=0.6)
+    ap.add_argument(
+        "--mode",
+        choices=["dedup", "curate"],
+        default="dedup",
+        help="dedup: minhash chain + keep-list; curate: the full K21 "
+        "DAG (dedup -> decontam vs the doc_id%%1000==0 slice -> "
+        "2048-token shard packing)",
+    )
     args = ap.parse_args()
 
     corpus = (f"/tmp/ocr_dedup_scale_{args.docs}_{args.words}_"
@@ -104,12 +112,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(path)
     n = docs.count()
+    from pyspark.sql import functions as F
+
+    if args.mode == "curate":
+        from ocr_tool_spark.dataprep.curate import curate_corpus
+
+        ev = docs.filter(
+            (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 1000 == 0)
+        )
+        t0 = time.perf_counter()
+        out = curate_corpus(docs, ev, threshold=args.threshold, budget=2048)
+        agg = out.agg(
+            F.count("*").alias("survivors"),
+            F.max("shard_id").alias("max_shard"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()[0]
+        wall = time.perf_counter() - t0
+        release_intermediates(out)
+        print(json.dumps({
+            "metric": "K21 curation DAG at scale (minhash dedup + decontam + shard packing)",
+            "docs": int(n), "cores": args.cores, "sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1),
+            "survivors": int(agg["survivors"]),
+            "dropped": int(n - agg["survivors"]),
+            "shards": int(agg["max_shard"]) + 1,
+            "packed_tokens": int(agg["tokens"]),
+        }))
+        spark.stop()
+        return
 
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
     keep = dedup_keep_list(docs, pairs)
     # one action materializes the whole chain; driver pulls 3 scalars
-    from pyspark.sql import functions as F
     agg = keep.agg(
         F.count("*").alias("rows"),
         F.sum("keep").alias("kept"),
