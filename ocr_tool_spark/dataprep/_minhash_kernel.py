@@ -154,9 +154,12 @@ def fallback_token_hashes(col: pa.Array):
 
 def batch_shingle_hashes(col: pa.Array, k: int):
     """Doc-segmented MIXED shingle hashes for one batch:
-    (sh_mixed uint64[total], out_offs int64[ndocs+1]) with exactly
-    max(m-k+1, 1) slots per doc (the <k-token combo / empty-shingle
-    rules above). Segment di is sh_mixed[out_offs[di]:out_offs[di+1]]."""
+    (sh_mixed uint64[total], out_offs int64[ndocs+1], m_arr
+    int64[ndocs]) with exactly max(m-k+1, 1) slots per doc (the
+    <k-token combo / empty-shingle rules above). Segment di is
+    sh_mixed[out_offs[di]:out_offs[di+1]]; m_arr is the per-doc token
+    count, letting callers with a strict ≥k-token convention (decontam
+    word n-grams) mask out the short-doc combo slots."""
     ndocs = len(col)
     got = ascii_token_hashes(col)
     if got is None:
@@ -186,4 +189,4 @@ def batch_shingle_hashes(col: pa.Array, k: int):
         th = th_all[offs[di] : offs[di + 1]]
         sh_flat[out_offs[di]] = (th * comb[: m_arr[di]]).sum()
     # empty docs keep the zero "empty shingle" slot as-is
-    return mix64(sh_flat), out_offs
+    return mix64(sh_flat), out_offs, m_arr

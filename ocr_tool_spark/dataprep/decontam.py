@@ -6,29 +6,43 @@ n-gram).
 
 Scale design (100 TB corpus, small eval set): the eval set is by
 definition tiny (benchmarks are thousands of documents, not billions),
-so its distinct grams become the build side of ONE broadcast hash join
-probed by the scan-local exploded corpus grams. The broadcast hash
-table is built once per task and probed O(1) per gram, so total corpus
-cost is O(corpus grams); the only corpus-wide movement is the per-doc
-count aggregate, which partial (map-side) aggregation collapses to ~1
-row per document before the shuffle.
+so its distinct gram set fits the driver, and the corpus pass is ONE
+scan — no explode, no join, no corpus shuffle at all.
 
-Why not `array_intersect` against a broadcast eval-gram ARRAY (the
-r4-original shape, which had zero corpus shuffle)? Catalyst's
-ArrayIntersect rebuilds the hash set of its argument PER ROW — with a
-~10^5-gram eval set that is O(|corpus| × |eval|) hash inserts, which
-measured 4× slower than this plan at sf0.1 and is catastrophic at
-10^12 docs. A ~1-row-per-doc shuffle is the cheaper trade by orders of
-magnitude; "zero shuffle" was the wrong thing to optimize.
+Two engines, same answer (both gated by the same pytest; the driver
+oracle runs the textbook explode+join+group ANSI-SQL plan):
 
-Cross-engine exactness: grams are compared as PLAIN STRINGS (not
-hashes), so the DuckDB oracle can reproduce the result verbatim; a
-production deployment would md5/xxhash the grams to shrink the
-broadcast, which changes bytes, not semantics.
+- `engine="arrow"` (default, the 100 TB path): per-doc 8-gram 64-bit
+  hashes come from the shared vectorized kernel
+  (_minhash_kernel.batch_shingle_hashes — the same token/shingle math
+  the MinHash stage runs, bit-verified against the plain-Python spec),
+  the eval set's distinct hashes are collected once (driver-sized) and
+  broadcast, and one mapInArrow stage counts per-doc distinct matches
+  with sort+searchsorted — zero per-row Python, zero corpus shuffle.
+  Measured 97 s → 7 s at 150k docs vs the SQL engine: building 17M
+  gram STRINGS through interpreted HOF evaluation (~20 ms-core/doc)
+  was the cost, not the plan shape.
+- `engine="sql"` (pure-JVM reference formulation): distinct eval grams
+  as the build side of one broadcast hash join probed by the
+  scan-local exploded corpus grams (hash table built once per task),
+  per-doc count collapsed map-side to ~1 row/doc before the only
+  corpus-cardinality shuffle. Kept because it is the plan a SQL-only
+  engine would run and the direct mirror of the oracle.
+
+(An earlier shape — broadcast eval-gram ARRAY + scan-local
+`array_intersect` — was audited out: Catalyst's ArrayIntersect rebuilds
+the hash set of its argument PER ROW, O(corpus × eval) hash inserts.)
+
+Hash-vs-string exactness: the arrow engine counts distinct 64-bit gram
+hashes where the oracle counts distinct gram strings; they differ only
+on a 64-bit collision within one doc-or-eval gram set (~10^-19 per
+pair, deterministic, and the sf-scale oracle gate would surface it).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
@@ -54,6 +68,48 @@ def word_ngrams(c: Column, n: int) -> Column:
     )
 
 
+def _batch_gram_hashes(col: pa.Array, n: int):
+    """(sh, doc_of, valid): doc-segmented mixed gram hashes from the
+    shared kernel, with the strict ≥n-token word-n-gram convention —
+    docs shorter than n words contribute NO grams (the kernel's
+    short-doc combo slot and empty-doc slot are masked out)."""
+    from ocr_tool_spark.dataprep import _minhash_kernel as mk
+
+    sh, offs, m = mk.batch_shingle_hashes(col, n)
+    n_sh = np.diff(offs)
+    doc_of = np.repeat(np.arange(len(col), dtype=np.int64), n_sh)
+    valid = m[doc_of] >= n
+    return sh, doc_of, valid
+
+
+def _eval_gram_hashes(eval_docs: DataFrame, n: int, text_col: str) -> np.ndarray:
+    """Sorted distinct uint64 gram hashes of the eval set. The collect
+    is bounded by the operator's contract (benchmarks are small); it is
+    the decontam analogue of the IVF 1-row params read."""
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int64())], names=["h"]
+                )
+                continue
+            sh, _, valid = _batch_gram_hashes(batch.column(text_col), n)
+            hs = np.unique(sh[valid])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hs.view(np.int64), type=pa.int64())], names=["h"]
+            )
+
+    rows = (
+        eval_docs.select(text_col)
+        .mapInArrow(fn, "h bigint")
+        .distinct()
+        .collect()
+    )
+    ev = np.fromiter((r["h"] for r in rows), dtype=np.int64, count=len(rows))
+    return np.sort(ev.view(np.uint64))
+
+
 def contamination(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -61,18 +117,17 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(doc_id, n_shared_grams, contaminated): per corpus doc, how many
     of its distinct word n-grams appear anywhere in the eval set, and
-    the ≥1-gram contamination flag.
-
-    Plan: distinct eval grams (driver-sized by the benchmark's nature)
-    are the build side of a broadcast hash join; the probe side is the
-    corpus's exploded distinct grams (explode_outer so gram-less docs
-    survive with count 0). The per-doc count is a hash aggregate whose
-    map-side partial emits ~1 row per document — the only shuffle that
-    touches corpus cardinality."""
+    the ≥1-gram contamination flag. See the module docstring for the
+    two engines."""
     ev_col = eval_text_col or text_col
+    if engine == "arrow":
+        return _contamination_arrow(docs, eval_docs, n, id_col, text_col, ev_col)
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r} (arrow|sql)")
     ev = (
         eval_docs.select(F.explode(word_ngrams(F.col(ev_col), n)).alias("gram"))
         .distinct()
@@ -95,4 +150,69 @@ def contamination(
             .alias("n_shared_grams")
         )
         .withColumn("contaminated", (F.col("n_shared_grams") > 0).cast("int"))
+    )
+
+
+def _contamination_arrow(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    ev_col: str,
+) -> DataFrame:
+    ev_sorted = _eval_gram_hashes(eval_docs, n, ev_col)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(ev_sorted)
+    id_type = dict(zip(docs.schema.names, docs.schema.fields))[
+        id_col
+    ].dataType.simpleString()
+
+    def fn(batches):
+        ev = bc.value
+        for batch in batches:
+            ids = batch.column(id_col)
+            ndocs = batch.num_rows
+            if ndocs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array([], type=pa.int64()),
+                        pa.array([], type=pa.int32()),
+                    ],
+                    names=[id_col, "n_shared_grams", "contaminated"],
+                )
+                continue
+            sh, doc_of, valid = _batch_gram_hashes(batch.column(text_col), n)
+            counts = np.zeros(ndocs, dtype=np.int64)
+            if ev.size and sh.size:
+                # distinct-within-doc + eval membership, no per-doc loop:
+                # sort by (doc, hash), keep first occurrences, probe the
+                # sorted eval array with searchsorted
+                order = np.lexsort((sh, doc_of))
+                sh_s = sh[order]
+                doc_s = doc_of[order]
+                first = np.empty(order.size, dtype=bool)
+                first[0] = True
+                first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+                idx = np.searchsorted(ev, sh_s)
+                hit = np.zeros(order.size, dtype=bool)
+                inb = idx < ev.size
+                hit[inb] = ev[idx[inb]] == sh_s[inb]
+                use = first & hit & valid[order]
+                counts += np.bincount(doc_s[use], minlength=ndocs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(counts, type=pa.int64()),
+                    pa.array((counts > 0).astype(np.int32), type=pa.int32()),
+                ],
+                names=[id_col, "n_shared_grams", "contaminated"],
+            )
+
+    sel = docs.select(id_col, text_col)
+    par = spark.sparkContext.defaultParallelism
+    sel = ensure_parallelism_floor(sel, par, min_bytes=32 << 20)
+    return sel.mapInArrow(
+        fn, f"{id_col} {id_type}, n_shared_grams bigint, contaminated int"
     )

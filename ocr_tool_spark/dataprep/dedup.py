@@ -167,7 +167,7 @@ def minhash_signatures_arrow(
                     names=[id_col, "sig"],
                 )
                 continue
-            sh_mixed, out_offs = mk.batch_shingle_hashes(batch.column(text_col), k)
+            sh_mixed, out_offs, _ = mk.batch_shingle_hashes(batch.column(text_col), k)
             x = (sh_mixed % np.uint64(_P)).astype(np.int64)
             # (lanes × shingles) min-fold, segmented per doc with
             # reduceat: duplicate shingles can't change a min, so the
@@ -221,7 +221,7 @@ def shingle_hash_sets(
                     names=[id_col, "_sh"],
                 )
                 continue
-            sh_mixed, out_offs = mk.batch_shingle_hashes(batch.column(text_col), k)
+            sh_mixed, out_offs, _ = mk.batch_shingle_hashes(batch.column(text_col), k)
             vals, new_offs = [], np.zeros(ndocs + 1, dtype=np.int64)
             for di in range(ndocs):
                 u = np.unique(sh_mixed[out_offs[di] : out_offs[di + 1]])

@@ -55,6 +55,30 @@ def test_contamination_empty_eval_set(spark, corpus):
     assert all(r["n_shared_grams"] == 0 and r["contaminated"] == 0 for r in got)
 
 
+def test_engines_agree_incl_fallback(spark):
+    """The arrow kernel engine and the SQL gram-string engine must
+    produce identical rows — including non-ASCII texts (the kernel's
+    Python-string fallback), docs shorter than n, empty docs, and
+    within-doc repeated grams (distinct-count semantics)."""
+    base = "héllo wörld alpha bravo charlie delta echo foxtrot golf"
+    rows = [
+        (1, base + " hotel india"),
+        (2, "prefix " + base + " hotel india suffix " + base + " hotel india"),
+        (3, "short doc only"),
+        (4, ""),
+        (5, "ASCII only aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(9, base + " hotel india")], "doc_id long, text string")
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["n_shared_grams"], r["contaminated"]) for r in df.collect()
+    )
+    a = key(contamination(corpus, ev, n=8, engine="arrow"))
+    s = key(contamination(corpus, ev, n=8, engine="sql"))
+    assert a == s
+    assert a[0][1] > 0  # doc 1 overlaps the eval passage
+
+
 def test_word_ngrams_edge_cases(spark):
     df = _df(
         spark,
