@@ -98,7 +98,11 @@ def ascii_token_hashes(arr: pa.Array):
     ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     region = data[off[0] : off[-1]]
-    if region.size and region.max() >= 0x80:
+    if region.size == 0:
+        # every doc in the batch is empty/null: zero tokens each (the
+        # run-detection below would index into empty masks)
+        return np.empty(0, dtype=np.uint64), np.zeros(len(arr), dtype=np.int64)
+    if region.max() >= 0x80:
         return None
     bnd = (off - off[0]).astype(np.int64)  # doc boundaries into region
     low = region.copy()
