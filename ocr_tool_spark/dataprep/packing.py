@@ -60,7 +60,12 @@ def pack_shards(
         F.size(F.split(normalize_text(F.col(text_col)), " "))
         .cast("long")
         .alias("n_tokens"),
-    )
+        # explicit null-key filter: the bucket join below would inject
+        # isnotnull(bucket) anyway (bucket is null only for null
+        # doc_id, which no join variant keeps) — making it explicit
+        # here keeps BOTH exchange subtrees canonically identical so
+        # ReusedExchange fires (see `totals` below)
+    ).filter(F.col("bucket").isNotNull())
     w_in = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -69,7 +74,16 @@ def pack_shards(
     within = base.withColumn(
         "_pre", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
     )
-    totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("_tot"))
+    # bucket totals come FROM the windowed frame (last row per bucket
+    # has _pre + n_tokens = bucket total), not from `base`: deriving
+    # them from base gave the scan+tokenize subtree two consumers with
+    # two DIFFERENT exchanges, executing the corpus's most expensive
+    # pass twice per action (ADVICE r4). Off the windowed frame both
+    # consumers sit above the SAME hash-partition exchange, which Spark
+    # dedups via ReusedExchange — one scan, one shuffle.
+    totals = within.groupBy("bucket").agg(
+        F.max(F.col("_pre") + F.col("n_tokens")).alias("_tot")
+    )
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "bucket",

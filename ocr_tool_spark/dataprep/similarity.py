@@ -334,6 +334,76 @@ def ivf_build(
     )
 
 
+def ivf_prune(
+    spark,
+    path: str,
+    keep_latest: int = 1,
+    ttl_ns: int = 7 * 24 * 3600 * 10**9,
+) -> list[str]:
+    """Garbage-collect superseded IVF builds (VERDICT r4 missing #4).
+
+    ivf_build's append-only publish deliberately leaves every
+    superseded `builds/<token>/` dir and `params/<token>/` row in
+    place — garbage, not corruption — so a long-lived warehouse
+    accumulates dead index copies. This sweep deletes:
+
+    - published builds beyond the `keep_latest` newest (by build_ts)
+      whose build_ts is older than `ttl_ns` ago, and
+    - unreferenced `builds/<token>/` dirs (crashed builds — no params
+      row) whose directory mtime is older than `ttl_ns` ago. The TTL
+      guards the one live race: a CONCURRENTLY RUNNING builder's dir
+      has no params row yet but is brand new, so a sane TTL (default
+      7 days) never touches it.
+
+    The newest complete build is never deleted regardless of TTL, so
+    readers resolving params always find their build. Deletes go
+    through the Hadoop FileSystem of `path` — whatever FS Spark
+    actually writes (HDFS/S3A/local), same discipline as the params
+    read. Returns the pruned tokens."""
+    import time as _time
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    now = _time.time_ns()
+
+    try:
+        rows = [
+            r.asDict()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(f"{path}/params")
+            .collect()
+        ]
+    except Exception:  # no params published: nothing is referenced
+        rows = []
+    published = sorted(
+        (r for r in rows if r.get("build") and r.get("build_ts") is not None),
+        key=lambda r: r["build_ts"],
+        reverse=True,
+    )
+    keep = {r["build"] for r in published[: max(keep_latest, 1)]}
+    pruned: list[str] = []
+    for r in published[max(keep_latest, 1) :]:
+        if now - r["build_ts"] >= ttl_ns:
+            fs.delete(hpath(f"{path}/builds/{r['build']}"), True)
+            fs.delete(hpath(f"{path}/params/{r['build']}"), True)
+            pruned.append(r["build"])
+    builds_dir = hpath(f"{path}/builds")
+    if fs.exists(builds_dir):
+        referenced = keep | {r["build"] for r in published}
+        for st in fs.listStatus(builds_dir):
+            tok = st.getPath().getName()
+            if (
+                tok not in referenced
+                and now - st.getModificationTime() * 10**6 >= ttl_ns
+            ):
+                fs.delete(st.getPath(), True)
+                pruned.append(tok)
+    return pruned
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,
