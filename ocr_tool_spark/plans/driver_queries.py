@@ -1605,10 +1605,19 @@ def q_dedup_components(spark, sf):  # 50-key window; locally oracle-gated
     from ocr_tool_spark.dataprep.dedup import minhash_lsh_pairs, pair_components
 
     pairs = minhash_lsh_pairs(_planted_docs(spark, sf), threshold=0.6)
-    return pair_components(pairs).select(
+    comp = pair_components(pairs)
+    out = comp.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+    # .select() returns a new Python object: re-attach the handle list
+    # (pairs' LSH caches + the loop's localCheckpoint frames) so
+    # release_intermediates(result) frees everything (VERDICT r4 #1)
+    out._ocr_persisted = [  # noqa: SLF001
+        *getattr(comp, "_ocr_persisted", []),
+        *getattr(pairs, "_ocr_persisted", []),
+    ]
+    return out
 
 
 @q("q_snapshot_time_travel")  # rows-only, registered PAST the driver's

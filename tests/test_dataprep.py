@@ -715,3 +715,27 @@ def test_ivf_prune_sweeps_superseded_builds(spark, sf_dir_mid, tmp_path):
     q = e.filter(F.col("vec_id") == 3)
     got = similarity.ivf_search(assigned, centroids, q, k=3, nprobe=4).collect()
     assert len(got) == 3
+
+
+def test_release_intermediates_frees_localcheckpoint_blocks(spark):
+    """VERDICT r4 wrong #1: clearCache() drops CacheManager entries but
+    NOT localCheckpoint RDD blocks — release_intermediates must free
+    the components loop's per-round label frames too, or a long-lived
+    session (bench.py, the 50-query driver) accumulates blocks and run
+    times climb monotonically."""
+    from ocr_tool_spark.dataprep import release_intermediates
+
+    def n_stored_rdds():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_stored_rdds()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = dedup.pair_components(pairs)
+    comp.count()
+    assert n_stored_rdds() > base  # checkpoint blocks exist
+    spark.catalog.clearCache()
+    assert n_stored_rdds() > base  # ...and clearCache does NOT free them
+    release_intermediates(comp)
+    assert n_stored_rdds() == base  # ...but release does
