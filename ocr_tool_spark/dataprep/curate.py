@@ -9,12 +9,28 @@ tokenizer sees a byte —
 — as ONE Spark plan, so a user gets lineage, AQE, and a single action
 instead of three hand-chained jobs.
 
-Composition is by EXCLUSION LIST, not survivor list: dedup drops and
-contamination hits are both tiny relative to the corpus (dup fraction
-× corpus and eval-overlap × corpus respectively), so each stage
-left-anti-joins the corpus against a small id frame that AQE plans as
-a broadcast — the corpus is never re-shuffled on doc_id to apply a
-verdict. The only corpus-cardinality movements remain the ones the
+Composition is by EXCLUSION LIST, not survivor list: each stage
+left-anti-joins the corpus against an id frame of its drops (dup
+members / contaminated docs), so the corpus is never re-shuffled on
+doc_id just to apply a verdict. How the anti-join executes depends on
+the measured drop fraction — both regimes are rehearsed
+(scripts/dedup_scale_bench.py --mode curate, BENCH/DEDUP_SCALE.md):
+
+- LOW drops (curated-ish corpora, few % dups): the drop frames are
+  KB-to-MB-scale, AQE plans both anti-joins as broadcasts, zero added
+  corpus movement.
+- HIGH drops (raw web crawls, 30-50% near-dup): the dup-drop frame is
+  corpus-scale — NOT broadcastable — and AQE correctly demotes that
+  anti-join to a shuffle join, which adds one corpus-cardinality
+  exchange on doc_id. That is the honest price of applying a
+  corpus-scale verdict; the composition (and its exact survivor set)
+  is unchanged, verified by rehearsing with the broadcast threshold
+  clamped so the demotion actually happens. The drop frames persist
+  spill-safe (MEMORY_AND_DISK is the DataFrame default) because their
+  LINEAGE — the whole MinHash chain / gram kernel — is what must not
+  re-execute per consumer, whatever their size.
+
+The only other corpus-cardinality movements remain the ones the
 stages inherently own (LSH band groupBy, the ~1-row/doc decontam
 count, the per-bucket packing windows).
 """
@@ -50,11 +66,15 @@ def curate_corpus(
     are gap-free over the curated corpus."""
     pairs = minhash_lsh_pairs(docs, threshold=threshold, text_col=text_col)
     keep = dedup_keep_list(docs, pairs, id_col=id_col)
-    # persist both exclusion-id frames: they are tiny, but their
-    # LINEAGE is the whole MinHash chain / gram explode — and the
+    # persist both exclusion-id frames: whatever their size, their
+    # LINEAGE is the whole MinHash chain / gram kernel — and the
     # corpus frame downstream of each has ≥2 consumers, which would
     # re-execute that lineage per consumer (measured 13 s vs 4 s at
-    # sf0.1; the CLAUDE.md multi-consumer rule)
+    # sf0.1; the CLAUDE.md multi-consumer rule). The default storage
+    # level spills to disk, so corpus-scale drop frames (30-50% dup
+    # web crawls — see the module docstring) degrade to disk reads,
+    # not OOM
+
     dup_drops = keep.filter(F.col("keep") == 0).select(id_col).persist()
     deduped = docs.join(dup_drops, id_col, "left_anti")
 

@@ -86,8 +86,27 @@ def main() -> None:
         choices=["dedup", "curate"],
         default="dedup",
         help="dedup: minhash chain + keep-list; curate: the full K21 "
-        "DAG (dedup -> decontam vs the doc_id%%1000==0 slice -> "
-        "2048-token shard packing)",
+        "DAG (dedup -> decontam vs the eval slice -> 2048-token shard "
+        "packing)",
+    )
+    ap.add_argument(
+        "--contam-every",
+        type=int,
+        default=1000,
+        help="curate mode: eval set = base docs with doc_id %% N == 0 "
+        "(N=20 gives the ~5%% contamination of a realistic benchmark "
+        "overlap; the VERDICT r4 #5 rehearsal point)",
+    )
+    ap.add_argument(
+        "--broadcast-threshold",
+        type=int,
+        default=None,
+        help="curate mode: clamp spark.sql.autoBroadcastJoinThreshold "
+        "(bytes). At rehearsal scale even 30%% drop-id frames are only "
+        "~1 MB, so AQE still broadcasts them; clamping to e.g. 65536 "
+        "forces the anti-joins into the shuffle-join regime a 100 TB "
+        "corpus with 30-50%% drops actually hits, verifying the "
+        "composition survives the demotion (same survivors, no OOM)",
     )
     args = ap.parse_args()
 
@@ -107,8 +126,13 @@ def main() -> None:
     from ocr_tool_spark.session import build_session
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, args.cores)}g")
+    extra_conf = {"spark.ui.showConsoleProgress": "false"}
+    if args.broadcast_threshold is not None:
+        extra_conf["spark.sql.autoBroadcastJoinThreshold"] = str(
+            args.broadcast_threshold
+        )
     spark = build_session(app_name="dedup-scale", cores=args.cores,
-                          extra_conf={"spark.ui.showConsoleProgress": "false"})
+                          extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(path)
     n = docs.count()
@@ -118,7 +142,8 @@ def main() -> None:
         from ocr_tool_spark.dataprep.curate import curate_corpus
 
         ev = docs.filter(
-            (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 1000 == 0)
+            (F.col("doc_id") < 10_000_000)
+            & (F.col("doc_id") % args.contam_every == 0)
         )
         t0 = time.perf_counter()
         out = curate_corpus(docs, ev, threshold=args.threshold, budget=2048)
@@ -126,15 +151,46 @@ def main() -> None:
             F.count("*").alias("survivors"),
             F.max("shard_id").alias("max_shard"),
             F.sum("n_tokens").alias("tokens"),
+            F.sum((F.col("doc_id") >= 10_000_000).cast("long")).alias(
+                "surviving_copies"
+            ),
+            F.sum(
+                (
+                    (F.col("doc_id") < 10_000_000)
+                    & (F.col("doc_id") % args.contam_every == 0)
+                ).cast("long")
+            ).alias("surviving_eval"),
         ).collect()[0]
         wall = time.perf_counter() - t0
         release_intermediates(out)
+        # exactness accounting: every base non-eval doc must survive
+        # (no false merges, no false contamination), every eval doc
+        # must drop (self-contamination), and the only admissible
+        # copy survivors are the genuinely sub-threshold edits (the
+        # measured ~0.1% whose random token edits repeat a token and
+        # push true Jaccard below the threshold) — which the exact
+        # verify stage, not LSH, adjudicates
+        n_base = args.docs
+        n_copies = int(n) - n_base
+        n_eval = len(range(0, n_base, args.contam_every))
+        surviving_copies = int(agg["surviving_copies"])
+        expected = n_base - n_eval + surviving_copies
         print(json.dumps({
             "metric": "K21 curation DAG at scale (minhash dedup + decontam + shard packing)",
             "docs": int(n), "cores": args.cores, "sec": round(wall, 2),
             "docs_per_sec": round(n / wall, 1),
             "survivors": int(agg["survivors"]),
             "dropped": int(n - agg["survivors"]),
+            "dup_drop_frac": round(n_copies / int(n), 4),
+            "contam_drop_frac": round(n_eval / n_base, 4),
+            "surviving_subthreshold_copies": surviving_copies,
+            "surviving_eval": int(agg["surviving_eval"]),
+            "expected_survivors": expected,
+            "survivors_exact": bool(
+                int(agg["survivors"]) == expected
+                and int(agg["surviving_eval"]) == 0
+            ),
+            "broadcast_threshold": args.broadcast_threshold,
             "shards": int(agg["max_shard"]) + 1,
             "packed_tokens": int(agg["tokens"]),
         }))
