@@ -725,17 +725,21 @@ def test_release_intermediates_frees_localcheckpoint_blocks(spark):
     times climb monotonically."""
     from ocr_tool_spark.dataprep import release_intermediates
 
-    def n_stored_rdds():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def stored_ids():
+        # track by RDD id: earlier tests' blocks may be GC'd by the
+        # ContextCleaner mid-test, so a global COUNT is racy — only
+        # the ids THIS test creates are deterministic
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
-    base = n_stored_rdds()
+    base = stored_ids()
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
     comp = dedup.pair_components(pairs)
     comp.count()
-    assert n_stored_rdds() > base  # checkpoint blocks exist
+    mine = stored_ids() - base
+    assert mine  # checkpoint blocks exist
     spark.catalog.clearCache()
-    assert n_stored_rdds() > base  # ...and clearCache does NOT free them
+    assert stored_ids() & mine == mine  # clearCache does NOT free them
     release_intermediates(comp)
-    assert n_stored_rdds() == base  # ...but release does
+    assert not (stored_ids() & mine)  # ...but release does
