@@ -125,13 +125,19 @@ def order_blocks(blocks: list[tuple[int, int, int, int]]) -> list[tuple[int, int
 
 _CROP_CACHE: dict[tuple[int, int, bytes], str | None] = {}
 _CROP_CACHE_MAX = 4096  # glyph variety is tiny; cap guards weird inputs
+# column-bitcode cache: each band column packs to ceil(h/8) bytes
+# (np.packbits along rows), so (band_height, code_byte_slice) is
+# bijective with the raw 2-D crop at any height — see read_block
+_CODE_CACHE: dict[tuple[int, bytes], str | None] = {}
 
 
 def _char_of(run_crop: np.ndarray) -> str | None:
     """Char for one ink run, memoized on the RAW crop bytes: the
     trimmed-pattern key costs ~20 numpy calls on a 7x5 array, and a
     worker sees the same few dozen glyph crops millions of times —
-    profiled at 70% of read_media before caching."""
+    profiled at 70% of read_media before caching. (Kept for callers
+    with single crops; read_block's hot loop uses the cheaper
+    column-bitcode key below.)"""
     key = (run_crop.shape[0], run_crop.shape[1], run_crop.tobytes())
     try:
         return _CROP_CACHE[key]
@@ -144,20 +150,40 @@ def _char_of(run_crop: np.ndarray) -> str | None:
 
 def read_block(page: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
     """Template OCR of one leaf block (line bands -> char runs -> exact
-    tight-bbox template lookup; >= SPACE_GAP blank cols = one space)."""
+    tight-bbox template lookup; >= SPACE_GAP blank cols = one space).
+
+    r5 hot-loop form: with the r3 crop-bytes cache at a 99%+ hit rate,
+    KEY CONSTRUCTION (2-D crop slice + tobytes per char run) became
+    the cost. Each line band now pays ONE np.packbits pass (columns
+    pack to ceil(h/8) contiguous bytes after the transpose), and each
+    run's key is a plain bytes slice — measured 13-29% faster per
+    media in a 3-round interleaved A/B with bit-identical output
+    (refspec equality over 300 heavy media). Sequential A/Bs were
+    noise-swamped; the interleaved protocol is the CLAUDE.md rule."""
     y0, y1, x0, x1 = bbox
     crop = page[y0:y1, x0:x1] > 0
     lines: list[str] = []
     l_s, l_e = _runs(crop.any(axis=1))
     for ls, le in zip(l_s.tolist(), l_e.tolist()):
         band = crop[ls:le]
+        h = int(le - ls)
         chars: list[str] = []
         prev_end = -1
         c_s, c_e = _runs(band.any(axis=0))
+        nb = (h + 7) >> 3
+        code_bytes = np.packbits(band, axis=0).T.tobytes()
         for cs, ce in zip(c_s.tolist(), c_e.tolist()):
             if prev_end >= 0 and cs - prev_end >= SPACE_GAP and chars:
                 chars.append(" ")
-            ch = _char_of(band[:, cs:ce])
+            key = (h, code_bytes[nb * cs : nb * ce])
+            try:
+                ch = _CODE_CACHE[key]
+            except KeyError:
+                ch = TEMPLATES.get(
+                    trimmed_pattern(band[:, cs:ce].astype(np.uint8))
+                )
+                if len(_CODE_CACHE) < _CROP_CACHE_MAX:
+                    _CODE_CACHE[key] = ch
             if ch is not None:
                 chars.append(ch)
             prev_end = ce
