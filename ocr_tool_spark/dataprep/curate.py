@@ -74,7 +74,6 @@ def curate_corpus(
     # level spills to disk, so corpus-scale drop frames (30-50% dup
     # web crawls — see the module docstring) degrade to disk reads,
     # not OOM
-
     dup_drops = keep.filter(F.col("keep") == 0).select(id_col).persist()
     deduped = docs.join(dup_drops, id_col, "left_anti")
 
