@@ -743,3 +743,45 @@ def test_release_intermediates_frees_localcheckpoint_blocks(spark):
     assert stored_ids() & mine == mine  # clearCache does NOT free them
     release_intermediates(comp)
     assert not (stored_ids() & mine)  # ...but release does
+
+
+def test_shingle_hash_sets_randomized_differential(spark):
+    """Randomized (seeded) differential for the vectorized
+    distinct-within-doc path: 200 docs mixing ascii, non-ascii (routes
+    whole batches through the kernel's Python-string fallback),
+    empties, whitespace-only, heavy within-doc repetition, and
+    <k-token docs — exact per-doc order equality vs the plain-Python
+    spec. Partitioning splits the rows arbitrarily, so both kernel
+    paths and the empty-batch edge are exercised."""
+    import refspec_dataprep as spec
+
+    rng = np.random.default_rng(77)
+    vocab = [*VOCAB, "héllo", "wörld", "ZULU", "a", "bb"]
+    rows = []
+    for i in range(200):
+        kind = i % 5
+        if kind == 0:
+            rows.append((i, ""))
+        elif kind == 1:
+            n = int(rng.integers(1, 40))
+            rows.append(
+                (i, " ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
+            )
+        elif kind == 2:
+            rows.append((i, " ".join(["x y z"] * int(rng.integers(1, 30)))))
+        elif kind == 3:
+            rows.append((i, " " * int(rng.integers(1, 5))))
+        else:
+            n = int(rng.integers(1, 3))
+            rows.append(
+                (i, " ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
+            )
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r._sh for r in dedup.shingle_hash_sets(d, k=3).collect()}
+    for i, t in rows:
+        exp = (
+            np.array(sorted(spec.shingle_hash_set(t, 3)), dtype=np.uint64)
+            .view(np.int64)
+            .tolist()
+        )
+        assert got[i] == exp, f"doc {i}: {t!r}"
